@@ -1,0 +1,91 @@
+"""Fused residual-add + (RMS|Layer)Norm — TPU-native.
+
+Functional equivalent of mamba-ssm's Triton ``layer_norm_fn`` /
+``rms_norm_fn`` that the reference Block depends on
+(/root/reference/models/videomamba/videomamba.py:11,151-166,902-918):
+
+    prenorm=True:  residual_out = x + residual;  return (norm(residual_out), residual_out)
+    prenorm=False: return norm(x + residual)
+
+Norm statistics are computed in float32; the normalized output is returned in
+the input dtype; ``residual_out`` is float32 when ``residual_in_fp32`` else
+input dtype. On TPU these are pure VPU ops that XLA fuses with neighbors; a
+Pallas fast-path kernel (ops/pallas/fused_add_norm.py) plugs in behind the
+same signature.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def rms_norm(x: Array, weight: Array, eps: float = 1e-5) -> Array:
+    """RMSNorm over the last axis, float32 internals, output in x.dtype."""
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    y = x32 * jax.lax.rsqrt(var + eps)
+    return (y * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def layer_norm(
+    x: Array, weight: Array, bias: Optional[Array] = None, eps: float = 1e-5
+) -> Array:
+    """LayerNorm over the last axis, float32 internals, output in x.dtype."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * weight.astype(jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def fused_add_norm(
+    x: Array,
+    weight: Array,
+    bias: Optional[Array] = None,
+    residual: Optional[Array] = None,
+    prenorm: bool = False,
+    residual_in_fp32: bool = False,
+    eps: float = 1e-5,
+    norm_type: str = "rms",
+) -> Union[Array, Tuple[Array, Array]]:
+    """Residual-add followed by normalization, in one logical op.
+
+    Args:
+        x: (..., D) input (e.g. a mixer output).
+        weight: (D,) norm scale.
+        bias: (D,) norm shift (LayerNorm) or None (RMSNorm).
+        residual: (..., D) running residual or None (first block).
+        prenorm: if True, also return the post-add residual.
+        residual_in_fp32: keep the returned residual in float32.
+        eps: norm epsilon.
+        norm_type: "rms" or "layer".
+
+    Returns:
+        normed, or (normed, residual_out) when prenorm=True.
+    """
+    if residual is not None:
+        residual_out = x.astype(jnp.float32) + residual.astype(jnp.float32)
+    else:
+        residual_out = x.astype(jnp.float32)
+
+    if norm_type == "rms":
+        normed = rms_norm(residual_out, weight, eps=eps)
+    elif norm_type == "layer":
+        normed = layer_norm(residual_out, weight, bias, eps=eps)
+    else:
+        raise ValueError(f"Unknown norm_type: {norm_type!r}")
+    normed = normed.astype(x.dtype)
+
+    if not prenorm:
+        return normed
+    if not residual_in_fp32:
+        residual_out = residual_out.astype(x.dtype)
+    return normed, residual_out
