@@ -1,0 +1,330 @@
+"""Mamba selective-SSM mixer — TPU-native functional module.
+
+Capability twin of the reference ``Mamba`` layer
+(/root/reference/models/videomamba/mamba_simple.py:175-590), redesigned for
+JAX/XLA: parameters are an explicit pytree, streaming state is carried
+functionally (the reference's best path — its in-place ``inference_params``
+cache collapses onto the same mechanism), and every code path is jit-stable
+(fixed shapes, fixed dtypes).
+
+Computation per token sequence x (B, L, d_model):
+
+    xz = x @ W_in                       -> (B, L, 2*d_inner)   [MXU]
+    x', z = split(xz)
+    x' = silu(causal_depthwise_conv(x'))                       [VPU]
+    dt, B, C = split(x' @ W_x)          -> rank/d_state each   [MXU]
+    dt = dt @ W_dt
+    y = selective_scan(x', dt, A, B, C, D, z)                  [scan]
+    out = y @ W_out                                            [MXU]
+
+Streaming contract (frozen, version 1.0.0): per layer
+``conv_state (B, d_inner, d_conv)`` holds the last d_conv raw conv inputs,
+``ssm_state (B, d_inner, d_state)`` the SSM recurrence state. Passing
+``state=(conv_state, ssm_state), return_state=True`` yields
+``(out, (new_conv_state, new_ssm_state))`` such that chunked execution
+reproduces full-sequence execution exactly (layer-level parity bar 1e-4,
+reference scripts/check_streaming_state.py:55).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from typing import Any, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from videomamba_tpu.models import initializers as init
+from videomamba_tpu.ops.causal_conv1d import causal_conv1d, causal_conv1d_update
+from videomamba_tpu.ops.selective_scan import (
+    selective_scan_bld,
+    selective_state_update,
+)
+
+Array = jax.Array
+Params = Dict[str, Any]
+LayerState = Tuple[Array, Array]
+
+_FUSED_KILL_SWITCH = "VIDEOMAMBA_DISABLE_FUSED"
+
+
+def _fused_disabled_by_env() -> bool:
+    return os.getenv(_FUSED_KILL_SWITCH, "").lower() in {"1", "true", "yes", "y", "on"}
+
+
+@dataclasses.dataclass(frozen=True)
+class Mamba:
+    """Selective-SSM mixer. Hyperparameters only; params live in a pytree.
+
+    Mirrors the reference constructor surface (mamba_simple.py:176-215),
+    including the ``bimamba`` compatibility flag (single directional scan;
+    bidirectionality is composed externally, see BiMambaRefinerBlock) and the
+    ``VIDEOMAMBA_DISABLE_FUSED`` kill switch. ``use_fast_path=True`` selects
+    the fused Pallas kernels on TPU; ``False`` forces the pure-XLA path.
+    """
+
+    d_model: int
+    d_state: int = 16
+    d_conv: int = 4
+    expand: int = 2
+    dt_rank: Union[int, str] = "auto"
+    dt_min: float = 0.001
+    dt_max: float = 0.1
+    dt_init: str = "random"
+    dt_scale: float = 1.0
+    dt_init_floor: float = 1e-4
+    conv_bias: bool = True
+    bias: bool = False
+    use_fast_path: bool = True
+    layer_idx: Optional[int] = None
+    bimamba: bool = True
+    scan_chunk_size: int = 64
+
+    def __post_init__(self):
+        if _fused_disabled_by_env() and self.use_fast_path:
+            object.__setattr__(self, "use_fast_path", False)
+
+    @property
+    def d_inner(self) -> int:
+        return int(self.expand * self.d_model)
+
+    @property
+    def dt_rank_(self) -> int:
+        if self.dt_rank == "auto":
+            return math.ceil(self.d_model / 16)
+        return int(self.dt_rank)
+
+    # ------------------------------------------------------------------ init
+
+    def init(self, key: Array, dtype: jnp.dtype = jnp.float32) -> Params:
+        """Initialize parameters (distributions per mamba_simple.py:218-281).
+
+        Layout notes: Linear kernels are stored (in, out); the depthwise conv
+        weight is (d_conv, d_inner) with channels minor. ``A_log``, ``D`` and
+        ``dt_proj.bias`` always stay float32 (the reference keeps them fp32).
+        """
+        d_in, r, n = self.d_inner, self.dt_rank_, self.d_state
+        keys = jax.random.split(key, 6)
+
+        params: Params = {}
+        if self.bias:
+            k, b = init.torch_linear_default(keys[0], self.d_model, 2 * d_in, True)
+            params["in_proj"] = {"kernel": k.astype(dtype), "bias": b.astype(dtype)}
+        else:
+            k = init.torch_linear_default(keys[0], self.d_model, 2 * d_in)
+            params["in_proj"] = {"kernel": k.astype(dtype)}
+
+        if self.conv_bias:
+            w, b = init.torch_conv_default(
+                keys[1], (self.d_conv, d_in), fan_in=self.d_conv, bias_shape=(d_in,)
+            )
+            params["conv1d"] = {"weight": w.astype(dtype), "bias": b.astype(dtype)}
+        else:
+            w = init.torch_conv_default(keys[1], (self.d_conv, d_in), fan_in=self.d_conv)
+            params["conv1d"] = {"weight": w.astype(dtype)}
+
+        params["x_proj"] = {
+            "kernel": init.torch_linear_default(keys[2], d_in, r + 2 * n).astype(dtype)
+        }
+
+        dt_init_std = r ** -0.5 * self.dt_scale
+        if self.dt_init == "constant":
+            dt_kernel = jnp.full((r, d_in), dt_init_std, jnp.float32)
+        elif self.dt_init == "random":
+            dt_kernel = jax.random.uniform(
+                keys[3], (r, d_in), jnp.float32, -dt_init_std, dt_init_std
+            )
+        else:
+            raise NotImplementedError(f"dt_init={self.dt_init!r}")
+        params["dt_proj"] = {
+            "kernel": dt_kernel.astype(dtype),
+            "bias": init.dt_bias_init(
+                keys[4], d_in, self.dt_min, self.dt_max, self.dt_init_floor
+            ),  # fp32, _no_reinit in the reference
+        }
+
+        params["A_log"] = init.s4d_real_A_log(d_in, n)  # fp32, no weight decay
+        params["D"] = jnp.ones((d_in,), jnp.float32)  # fp32, no weight decay
+
+        if self.bias:
+            k, b = init.torch_linear_default(keys[5], d_in, self.d_model, True)
+            params["out_proj"] = {"kernel": k.astype(dtype), "bias": b.astype(dtype)}
+        else:
+            k = init.torch_linear_default(keys[5], d_in, self.d_model)
+            params["out_proj"] = {"kernel": k.astype(dtype)}
+        return params
+
+    # --------------------------------------------------------------- forward
+
+    def __call__(
+        self,
+        params: Params,
+        hidden_states: Array,
+        state: Optional[LayerState] = None,
+        return_state: bool = False,
+        ssm_state: Optional[Array] = None,
+    ) -> Union[Array, Tuple[Array, LayerState]]:
+        """Apply the mixer.
+
+        Args:
+            params: parameter pytree from :meth:`init`.
+            hidden_states: (B, L, d_model).
+            state: optional (conv_state (B, d_inner, d_conv),
+                ssm_state (B, d_inner, d_state)) carried streaming state.
+            return_state: also return the updated state tuple.
+            ssm_state: SSM-only initial state (no conv context), matching the
+                reference's ``ssm_state=`` argument (mamba_simple.py:287).
+
+        Returns:
+            out (B, L, d_model), or (out, (new_conv_state, new_ssm_state)).
+            New states keep the dtypes of the incoming states (jit-stable
+            pytrees); with no incoming state, conv_state takes the input
+            dtype and ssm_state is float32, like the reference fresh-state
+            path.
+        """
+        if state is not None and ssm_state is not None:
+            raise ValueError("Pass either state or ssm_state, not both.")
+        conv_state = None
+        if state is not None:
+            conv_state, ssm_state = state
+
+        bsz, seqlen, _ = hidden_states.shape
+        need_state = return_state
+
+        xz = hidden_states @ params["in_proj"]["kernel"]
+        if "bias" in params["in_proj"]:
+            xz = xz + params["in_proj"]["bias"]
+        x, z = jnp.split(xz, 2, axis=-1)
+
+        conv_out = causal_conv1d(
+            x,
+            params["conv1d"]["weight"],
+            params["conv1d"].get("bias"),
+            activation="silu",
+            initial_state=conv_state,
+            return_final_state=need_state,
+        )
+        if need_state:
+            conv_out, new_conv_state = conv_out
+            if conv_state is not None:
+                new_conv_state = new_conv_state.astype(conv_state.dtype)
+
+        x_dbl = conv_out @ params["x_proj"]["kernel"]
+        r, n = self.dt_rank_, self.d_state
+        dt_low = x_dbl[..., :r]
+        B_ssm = x_dbl[..., r:r + n]
+        C_ssm = x_dbl[..., r + n:]
+        dt = dt_low @ params["dt_proj"]["kernel"]
+
+        A = -jnp.exp(params["A_log"].astype(jnp.float32))
+
+        scan_out = selective_scan_bld(
+            conv_out,
+            dt,
+            A,
+            B_ssm,
+            C_ssm,
+            D=params["D"].astype(jnp.float32),
+            z=z,
+            delta_bias=params["dt_proj"]["bias"].astype(jnp.float32),
+            delta_softplus=True,
+            initial_state=ssm_state,
+            return_last_state=need_state,
+            method=self.scan_method,
+            chunk_size=self.scan_chunk_size,
+        )
+        if need_state:
+            y, new_ssm_state = scan_out
+            if ssm_state is not None:
+                new_ssm_state = new_ssm_state.astype(ssm_state.dtype)
+        else:
+            y = scan_out
+
+        out = y @ params["out_proj"]["kernel"]
+        if "bias" in params["out_proj"]:
+            out = out + params["out_proj"]["bias"]
+
+        if need_state:
+            return out, (new_conv_state, new_ssm_state)
+        return out
+
+    @property
+    def scan_method(self) -> str:
+        """Scan backend: fused Pallas kernel when fast path is on (falls back
+        to the chunked XLA scan off-TPU), chunked XLA otherwise."""
+        if self.use_fast_path:
+            from videomamba_tpu.ops import dispatch
+
+            return dispatch.preferred_scan_method()
+        return "chunked"
+
+    # ------------------------------------------------------------ decode step
+
+    def step(
+        self, params: Params, hidden_states: Array, conv_state: Array, ssm_state: Array
+    ) -> Tuple[Array, Array, Array]:
+        """Single-token decode step (functional twin of mamba_simple.py:453-497).
+
+        Args:
+            hidden_states: (B, 1, d_model).
+        Returns:
+            (out (B, 1, d_model), new_conv_state, new_ssm_state).
+        """
+        if hidden_states.shape[1] != 1:
+            raise ValueError("step() decodes exactly one token at a time.")
+        x_tok = hidden_states[:, 0]
+        xz = x_tok @ params["in_proj"]["kernel"]
+        if "bias" in params["in_proj"]:
+            xz = xz + params["in_proj"]["bias"]
+        x, z = jnp.split(xz, 2, axis=-1)
+
+        x, new_conv_state = causal_conv1d_update(
+            x, conv_state, params["conv1d"]["weight"], params["conv1d"].get("bias")
+        )
+        x_db = x @ params["x_proj"]["kernel"]
+        r, n = self.dt_rank_, self.d_state
+        dt = x_db[..., :r] @ params["dt_proj"]["kernel"]
+        B_ssm = x_db[..., r:r + n]
+        C_ssm = x_db[..., r + n:]
+        A = -jnp.exp(params["A_log"].astype(jnp.float32))
+        y, new_ssm_state = selective_state_update(
+            ssm_state,
+            x,
+            dt,
+            A,
+            B_ssm,
+            C_ssm,
+            D=params["D"],
+            z=z,
+            dt_bias=params["dt_proj"]["bias"],
+            dt_softplus=True,
+        )
+        out = y @ params["out_proj"]["kernel"]
+        if "bias" in params["out_proj"]:
+            out = out + params["out_proj"]["bias"]
+        return out[:, None], new_conv_state, new_ssm_state
+
+    # ----------------------------------------------------------- state alloc
+
+    def allocate_state(
+        self, batch_size: int, dtype: Optional[jnp.dtype] = None
+    ) -> LayerState:
+        """Zero (conv_state, ssm_state) for streaming (mamba_simple.py:522-544).
+
+        dtype defaults to float32 (parameter-default dtype); pass the model's
+        compute dtype explicitly for bf16 serving.
+        """
+        dtype = jnp.float32 if dtype is None else dtype
+        conv_state = jnp.zeros((batch_size, self.d_inner, self.d_conv), dtype)
+        ssm_state = jnp.zeros((batch_size, self.d_inner, self.d_state), dtype)
+        return conv_state, ssm_state
+
+    def allocate_inference_cache(
+        self, batch_size: int, max_seqlen: int = 1, dtype: Optional[jnp.dtype] = None
+    ) -> LayerState:
+        """Decode-cache allocation — same shapes as :meth:`allocate_state`
+        (the reference's two spellings of d_inner, mamba_simple.py:499-520)."""
+        del max_seqlen
+        return self.allocate_state(batch_size, dtype=dtype)

@@ -1,0 +1,46 @@
+"""Kernel-backend dispatch: pick Pallas fast paths when they apply.
+
+Central registry for the ``use_fast_path`` decision (the reference gates its
+fused CUDA/Triton kernels the same way, mamba_simple.py:343-367). Pure-XLA
+implementations are always available and are the numerical reference; Pallas
+kernels must match them to <=1e-5 (enforced in tests) before being preferred.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+
+_FORCE_SCAN_METHOD_ENV = "VIDEOMAMBA_SCAN_METHOD"
+
+
+@functools.lru_cache(maxsize=1)
+def on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - backend probing must never raise
+        return False
+
+
+def pallas_scan_available() -> bool:
+    """True when the Pallas selective-scan kernel can run here."""
+    if not on_tpu():
+        return False
+    try:
+        from videomamba_tpu.ops.pallas import scan as _  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def preferred_scan_method() -> str:
+    """Scan backend for fast-path callers: env override > pallas > chunked."""
+    forced = os.getenv(_FORCE_SCAN_METHOD_ENV, "").strip().lower()
+    if forced in {"ref", "chunked", "pallas"}:
+        return forced
+    if pallas_scan_available():
+        return "pallas"
+    return "chunked"
