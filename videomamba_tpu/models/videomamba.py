@@ -386,10 +386,13 @@ class PretrainVideoMamba:
 
     # ------------------------------------------- positional-embedding access
 
-    def _get_spatial_pos_embedding(self, grid_h: int, grid_w: int, dtype) -> Array:
+    def _get_spatial_pos_embedding(
+        self, grid_h: int, grid_w: int, dtype, params: Optional[Params] = None
+    ) -> Array:
         """Patch positional embeddings for a runtime grid; bicubic re-grid when
         it differs from the trained grid (videomamba.py:621-644)."""
-        patch_pos = self.params["pos_embed"][:, 1:]
+        p = self.params if params is None else params
+        patch_pos = p["pos_embed"][:, 1:]
         base_h = self.patch_embed.img_size[0] // self.patch_embed.patch_size[0]
         base_w = self.patch_embed.img_size[1] // self.patch_embed.patch_size[1]
         if base_h * base_w != patch_pos.shape[1]:
@@ -400,20 +403,33 @@ class PretrainVideoMamba:
         pos = resample_bicubic_2d(pos, (grid_h, grid_w))
         return pos.reshape(1, grid_h * grid_w, self.embed_dim).astype(dtype)
 
-    def _get_temporal_pos_embedding(self, seqlen: int, offset: int, dtype) -> Array:
+    def _get_temporal_pos_embedding(
+        self, seqlen: int, offset: int, dtype, params: Optional[Params] = None
+    ) -> Array:
         """Temporal pos-embed slice [offset, offset+seqlen); linearly
         extrapolated past the trained horizon (videomamba.py:655-675) — this
         is what makes minute-long streaming possible with an 8-frame-trained
         embedding. Computed host-side so jit never sees the offset."""
         if offset < 0:
             raise ValueError("temporal_pos_offset must be non-negative.")
-        pos_embed = self.params["temporal_pos_embedding"]
+        p = self.params if params is None else params
+        pos_embed = p["temporal_pos_embedding"]
         pos_len = pos_embed.shape[1]
         end = offset + seqlen
         if end <= pos_len:
             return jax.lax.slice_in_dim(pos_embed, offset, end, axis=1).astype(dtype)
-        pos = resample_linear_1d(pos_embed, end)
-        return pos[:, offset:end].astype(dtype)
+        # Beyond the trained horizon: resample to length `end` and slice. The
+        # resample matrix is sliced host-side so the device matmul keeps a
+        # FIXED (seqlen, pos_len) shape across all offsets — one compiled
+        # program for the whole stream, no per-chunk recompiles.
+        from videomamba_tpu.ops.resample import linear_resample_matrix
+
+        m = linear_resample_matrix(pos_len, end)[offset:end]  # (seqlen, pos_len)
+        pos = jnp.einsum(
+            "ol,blc->boc", jnp.asarray(m), pos_embed.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return pos.astype(dtype)
 
     # --------------------------------------------------------------- masking
 
@@ -597,22 +613,28 @@ class PretrainVideoMamba:
         temporal_pos_offset: int = 0,
         deterministic: bool = True,
         rng: Optional[Array] = None,
+        params: Optional[Params] = None,
     ) -> Union[Array, Tuple[Array, StateCollection]]:
         """Encoder features; returns (x_vis, next_state) when state is passed.
 
         Mirrors videomamba.py:786-941 including container-type preservation
-        (list/tuple/dict states come back in the same container).
+        (list/tuple/dict states come back in the same container). Pass
+        ``params`` to run with explicit (possibly traced) parameters — the
+        pure path used by training steps under jit/pjit.
         """
+        p = self.params if params is None else params
         if x.ndim != 5:
             raise ValueError("x must have shape [B, C, T, H, W].")
         bsz = x.shape[0]
         t_tokens = self._validate_temporal_length(x.shape[2])
         grid_h, grid_w = self._spatial_token_grid(x.shape[-2], x.shape[-1])
 
-        compute_dtype = self.params["patch_embed"]["kernel"].dtype
-        spatial_pos = self._get_spatial_pos_embedding(grid_h, grid_w, compute_dtype)
+        compute_dtype = p["patch_embed"]["kernel"].dtype
+        spatial_pos = self._get_spatial_pos_embedding(
+            grid_h, grid_w, compute_dtype, params=p
+        )
         temporal_pos = self._get_temporal_pos_embedding(
-            t_tokens, temporal_pos_offset, compute_dtype
+            t_tokens, temporal_pos_offset, compute_dtype, params=p
         )
 
         has_cls = self._has_cls_token_for_forward(ssm_state, temporal_pos_offset)
@@ -630,7 +652,7 @@ class PretrainVideoMamba:
              deterministic)
         )
         x_vis, new_states = core(
-            self.params, x, spatial_pos, temporal_pos, vis_arr, state_list, rng
+            p, x, spatial_pos, temporal_pos, vis_arr, state_list, rng
         )
 
         if any_full and new_states is not None:
@@ -679,6 +701,7 @@ class PretrainVideoMamba:
         temporal_pos_offset: int = 0,
         deterministic: bool = True,
         rng: Optional[Array] = None,
+        params: Optional[Params] = None,
     ):
         """Full forward with pooling head (videomamba.py:943-1067)."""
         if x.ndim != 5:
@@ -691,7 +714,7 @@ class PretrainVideoMamba:
         features = self.forward_features(
             x, mask, use_image, ssm_state=ssm_state,
             temporal_pos_offset=temporal_pos_offset,
-            deterministic=deterministic, rng=rng,
+            deterministic=deterministic, rng=rng, params=params,
         )
         if ssm_state is None:
             x_vis = features
@@ -722,7 +745,7 @@ class PretrainVideoMamba:
 
         x_pool = self._pool(
             cls_token, patch_tokens, mask, keep_temporal,
-            temporal_tokens, tokens_per_frame, has_cls, x.shape[0],
+            temporal_tokens, tokens_per_frame, has_cls, x.shape[0], params=params,
         )
 
         if ssm_state is None:
@@ -730,6 +753,11 @@ class PretrainVideoMamba:
         return patch_tokens, x_pool, next_state
 
     __call__ = forward
+
+    def apply(self, params: Params, x: Array, **kwargs):
+        """Pure functional forward with explicit params — the entry point for
+        training steps and pjit callers that manage parameters externally."""
+        return self.forward(x, params=params, **kwargs)
 
     def _pool(
         self,
@@ -741,9 +769,11 @@ class PretrainVideoMamba:
         tokens_per_frame: int,
         has_cls: bool,
         batch_size: int,
+        params: Optional[Params] = None,
     ) -> Array:
         """Pooling head with pool_norm (videomamba.py:983-1057)."""
-        pn = self.params["pool_norm"]
+        p = self.params if params is None else params
+        pn = p["pool_norm"]
 
         def pool_norm(v: Array) -> Array:
             from videomamba_tpu.ops.norm import layer_norm

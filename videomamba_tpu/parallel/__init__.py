@@ -1,0 +1,25 @@
+"""Distribution layer: mesh construction, sharding rules, sharded train step,
+and multi-host init (NCCL/DeepSpeed equivalents via jax.sharding + XLA
+collectives)."""
+
+from videomamba_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicated,
+    shard_params,
+)
+from videomamba_tpu.parallel.train_step import (
+    init_train_state,
+    make_train_step,
+)
+
+__all__ = [
+    "batch_sharding",
+    "init_train_state",
+    "make_mesh",
+    "make_train_step",
+    "param_shardings",
+    "replicated",
+    "shard_params",
+]

@@ -1,0 +1,99 @@
+"""Sharded training step — the framework's trainer core.
+
+The reference ships training *scaffolding* (optimizer/scheduler factories,
+DDP/DeepSpeed init) for an out-of-tree trainer; here the step itself is
+provided, TPU-native: one jit-compiled function over a ``jax.sharding.Mesh``
+where DP/FSDP/TP placement is expressed entirely through NamedShardings —
+XLA inserts the all-gathers/psums/reduce-scatters (the ZeRO-3 equivalent is
+the fsdp axis; see parallel/mesh.py).
+
+The default objective is masked-feature regression (VideoMAE-style targets
+are whatever the caller puts in ``batch["target"]`` — pixels, teacher
+features, etc.), matching the reference's role as a pretraining backbone.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from videomamba_tpu.parallel import mesh as mesh_lib
+
+Params = Dict[str, Any]
+
+
+def default_loss_fn(model, params, batch, rng):
+    """Feature-regression MSE on visible tokens; add_pool_norm-agnostic."""
+    out = model.apply(
+        params, batch["video"], deterministic=False, rng=rng,
+    )
+    x_vis = out[0] if isinstance(out, tuple) else out
+    target = batch["target"]
+    loss = jnp.mean(jnp.square(x_vis.astype(jnp.float32) - target.astype(jnp.float32)))
+    return loss, {"loss": loss}
+
+
+class TrainState:
+    """Minimal train state: params + optimizer state + step counter."""
+
+    def __init__(self, params: Params, opt_state, step):
+        self.params = params
+        self.opt_state = opt_state
+        self.step = step
+
+    def as_tuple(self):
+        return self.params, self.opt_state, self.step
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    loss_fn: Optional[Callable] = None,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted train step.
+
+    Returns step(params, opt_state, step_no, batch, rng) ->
+    (params, opt_state, step_no+1, metrics). Under a mesh, pass params
+    placed via parallel.mesh.shard_params and a batch placed via
+    batch_sharding — the compiled step is then the full DP/FSDP/TP program.
+    """
+    if loss_fn is None:
+        loss_fn = functools.partial(default_loss_fn, model)
+
+    def train_step(params, opt_state, step_no, batch, rng):
+        rng = jax.random.fold_in(rng, step_no)
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, batch, rng), has_aux=True
+        )(params)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_params, new_opt_state, step_no + 1, metrics
+
+    return jax.jit(train_step, donate_argnums=(0, 1) if donate else ())
+
+
+def init_train_state(
+    model,
+    tx: optax.GradientTransformation,
+    mesh=None,
+    **shard_kw,
+) -> Tuple[Params, Any, Any]:
+    """Initialize (params, opt_state, step) — sharded when a mesh is given.
+
+    Optimizer state mirrors the param pytree, so zeros_like inherits the
+    param shardings; no separate opt-state sharding pass is needed.
+    """
+    params = model.params
+    if mesh is not None:
+        params = mesh_lib.shard_params(params, mesh, **shard_kw)
+        model.params = params
+    opt_state = jax.jit(tx.init)(params)
+    step = jnp.zeros((), jnp.int32)
+    return params, opt_state, step
