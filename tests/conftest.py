@@ -1,8 +1,10 @@
 """Test harness config: run JAX on CPU with an 8-device virtual mesh.
 
-Must run before the first ``import jax`` anywhere in the test session so the
-platform and device-count flags take effect. Real-TPU behavior is exercised
-by bench.py and the driver's compile checks, not by this suite.
+Gotcha this guards against: the jaxtyping pytest plugin imports jax BEFORE
+conftest runs, so setting JAX_PLATFORMS via os.environ alone is too late.
+The backend, however, initializes lazily on first use, so forcing the
+platform through jax.config still works here — as long as no plugin touched
+a device yet.
 """
 
 import os
@@ -14,6 +16,15 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+assert jax.default_backend() == "cpu", (
+    "Test suite must run on CPU; a plugin initialized another backend first."
+)
 
 # Make the repo root importable regardless of pytest invocation directory.
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

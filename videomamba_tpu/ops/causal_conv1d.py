@@ -112,7 +112,8 @@ def causal_conv1d_update(
         [conv_state[:, :, 1:], x.astype(conv_state.dtype)[:, :, None]], axis=2
     )
     y = jnp.einsum(
-        "bdw,wd->bd", new_state.astype(jnp.float32), weight.astype(jnp.float32)
+        "bdw,wd->bd", new_state.astype(jnp.float32), weight.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
     )
     if bias is not None:
         y = y + bias.astype(jnp.float32)[None, :]

@@ -73,7 +73,9 @@ def _scan_ref_bld(
         dA = jnp.exp(delta_t[:, None, :] * A_t[None, :, :])  # (Bt, N, D)
         dBu = (delta_t * u_t)[:, None, :] * B_t[:, :, None]  # (Bt, N, D)
         h = dA * h + dBu
-        y_t = jnp.einsum("bnd,bn->bd", h, C_t)
+        y_t = jnp.einsum(
+            "bnd,bn->bd", h, C_t, precision=jax.lax.Precision.HIGHEST
+        )
         return h, y_t
 
     xs = (
@@ -137,7 +139,9 @@ def _scan_chunked_bld(
         # Fold the carried state into the first element of the chunk.
         b = b.at[:, 0].add(a[:, 0] * h)
         _, h_all = lax.associative_scan(_first_order_combine, (a, b), axis=1)
-        y_k = jnp.einsum("bcnd,bcn->bcd", h_all, C_k)
+        y_k = jnp.einsum(
+            "bcnd,bcn->bcd", h_all, C_k, precision=jax.lax.Precision.HIGHEST
+        )
         return h_all[:, -1], y_k
 
     h_last, ys = lax.scan(chunk_body, initial_state, (u_c, delta_c, B_c, C_c))
@@ -301,7 +305,10 @@ def selective_state_update(
     dA = jnp.exp(dt32[:, :, None] * A32[None, :, :])  # (B, D, N)
     dBx = (dt32 * x32)[:, :, None] * B.astype(jnp.float32)[:, None, :]  # (B, D, N)
     new_state = dA * state.astype(jnp.float32) + dBx
-    y = jnp.einsum("bdn,bn->bd", new_state, C.astype(jnp.float32))
+    y = jnp.einsum(
+        "bdn,bn->bd", new_state, C.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
     if D is not None:
         y = y + x32 * D.astype(jnp.float32)[None, :]
     if z is not None:
