@@ -25,8 +25,12 @@ def on_tpu() -> bool:
 
 
 def pallas_scan_available() -> bool:
-    """True when the Pallas selective-scan kernel can run here."""
-    if not on_tpu():
+    """True when the Pallas selective-scan kernel can run here.
+
+    Set VIDEOMAMBA_PALLAS_INTERPRET=1 to run the kernel in interpreter mode
+    off-TPU (testing only).
+    """
+    if not on_tpu() and not interpret_mode():
         return False
     try:
         from videomamba_tpu.ops.pallas import scan as _  # noqa: F401
@@ -34,6 +38,12 @@ def pallas_scan_available() -> bool:
         return True
     except ImportError:
         return False
+
+
+def interpret_mode() -> bool:
+    return os.getenv("VIDEOMAMBA_PALLAS_INTERPRET", "").lower() in {
+        "1", "true", "yes", "on"
+    }
 
 
 def preferred_scan_method() -> str:

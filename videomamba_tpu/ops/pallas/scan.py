@@ -1,0 +1,261 @@
+"""Pallas TPU selective-scan kernel — the framework's hot kernel.
+
+Replaces the reference's CUDA ``selective_scan_fn`` / fused ``mamba_inner_fn``
+core (/root/reference/models/videomamba/mamba_simple.py:13,343-435) with a
+TPU-native design:
+
+* Grid (B, D/d_tile, L/c) with the time axis as the minor (sequential) grid
+  dimension; the (N, d_tile) float32 recurrence state lives in VMEM scratch
+  and is carried across time blocks — zero HBM traffic for the state.
+* Inside a block, the recurrence runs sequentially over c timesteps on the
+  VPU. This is *less* total work than a log-depth associative scan
+  (5 N·D FLOPs/step vs log2(c) passes) and each step still processes
+  N x d_tile = 8K+ lanes, keeping the VPU saturated.
+* delta-bias + softplus, the D skip, and the silu(z) gate are fused into the
+  same kernel (bandwidth: u/delta/z/B/C read once, y written once).
+* B and C are taken time-minor, shape (B, N, L), so their lane dimension is
+  the long axis (N=16 would waste 8x lanes as a minor dim).
+
+Numerics match the pure-XLA implementations to ~1e-6 (tested in interpret
+mode on CPU and compiled on TPU); state is float32 throughout.
+
+The public entry :func:`scan_chunked_pallas` takes/returns the same
+(B, L, D)-layout contract as ``selective_scan_bld`` internals. The backward
+pass recomputes through the XLA chunked path (jax.custom_vjp in
+selective_scan.py), so training is always available; a hand-written Pallas
+backward is a later optimization.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+DEFAULT_BLOCK_L = 256
+DEFAULT_BLOCK_D = 512
+
+
+def _pick_block_d(d: int) -> int:
+    for cand in (DEFAULT_BLOCK_D, 256, 128):
+        if d % cand == 0:
+            return cand
+    return 0
+
+
+def pallas_scan_supported(d: int, n: int) -> bool:
+    """Shape gate: kernel needs lane-aligned channels and sublane-aligned N."""
+    return _pick_block_d(d) > 0 and n % 8 == 0 and n <= 512
+
+
+def _scan_kernel(
+    # refs (order: inputs..., outputs..., scratch...)
+    u_ref,        # (1, c, dt) in dtype
+    delta_ref,    # (1, c, dt)
+    z_ref,        # (1, c, dt)
+    b_ref,        # (1, N, c)
+    c_ref,        # (1, N, c)
+    at_ref,       # (N, dt) f32   A transposed
+    dskip_ref,    # (1, dt) f32
+    dbias_ref,    # (1, dt) f32
+    h0_ref,       # (1, N, dt) f32
+    y_ref,        # out (1, c, dt) dtype
+    hlast_ref,    # out (1, N, dt) f32
+    h_scratch,    # (N, dt) f32
+    delta_scr,    # (c, dt) f32 — post-bias/softplus delta
+    du_scr,       # (c, dt) f32 — delta * u
+    yacc_scr,     # (c, dt) f32 — pre-epilogue scan output (single rounding)
+    *,
+    block_l: int,
+    softplus: bool,
+    has_z: bool,
+):
+    l_idx = pl.program_id(2)
+
+    @pl.when(l_idx == 0)
+    def _():
+        h_scratch[:] = h0_ref[0]
+
+    # Vectorized block precompute (all f32), staged in VMEM scratch so the
+    # time loop can take pl.ds row views (Mosaic has no array dynamic_slice).
+    delta = delta_ref[0].astype(jnp.float32) + dbias_ref[0][None, :]
+    if softplus:
+        delta = jax.nn.softplus(delta)
+    u = u_ref[0].astype(jnp.float32)
+    delta_scr[:] = delta
+    du_scr[:] = delta * u
+    a_t = at_ref[:]                                  # (N, dt)
+    b_blk = b_ref[0].astype(jnp.float32)             # (N, c)
+    c_blk = c_ref[0].astype(jnp.float32)             # (N, c)
+    time_ids = lax.broadcasted_iota(jnp.int32, (1, b_blk.shape[1]), 1)  # (1, c)
+
+    # Mosaic alignment rules shape the loop: dynamic sublane indices must be
+    # 8-aligned, and dynamic lane indices are not addressable at all. So the
+    # time loop walks 8-row groups (aligned pl.ds loads/stores), statically
+    # unrolls the 8 steps inside registers, and pulls the per-step B/C
+    # columns out of the lane axis with an exact one-hot masked reduction on
+    # the VPU (an MXU matvec would round fp32 operands to bf16).
+    group = 8
+
+    def body(g, h):
+        base = pl.multiple_of(g * group, group)
+        d_rows = delta_scr[pl.ds(base, group), :]    # (8, dt)
+        du_rows = du_scr[pl.ds(base, group), :]      # (8, dt)
+        ys = []
+        for k in range(group):
+            onehot = (time_ids == base + k).astype(jnp.float32)  # (1, c)
+            b_t = jnp.sum(b_blk * onehot, axis=1, keepdims=True)  # (N, 1)
+            c_t = jnp.sum(c_blk * onehot, axis=1, keepdims=True)  # (N, 1)
+            delta_t = d_rows[k:k + 1, :]             # (1, dt) static slice
+            du_t = du_rows[k:k + 1, :]
+            dA = jnp.exp(delta_t * a_t)              # (N, dt)
+            h = dA * h + du_t * b_t                  # (N, dt)
+            ys.append(jnp.sum(c_t * h, axis=0, keepdims=True))
+        yacc_scr[pl.ds(base, group), :] = jnp.concatenate(ys, axis=0)
+        return h
+
+    h_final = lax.fori_loop(0, block_l // group, body, h_scratch[:])
+    h_scratch[:] = h_final
+    hlast_ref[0] = h_final
+
+    # Fused epilogue: D-skip and silu(z) gate over the whole block, in f32;
+    # the only rounding to the output dtype happens here (parity with the
+    # reference CUDA kernel's single final cast).
+    y = yacc_scr[:] + u * dskip_ref[0][None, :]
+    if has_z:
+        zf = z_ref[0].astype(jnp.float32)
+        y = y * (zf * jax.nn.sigmoid(zf))
+    y_ref[0] = y.astype(y_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("softplus", "has_z", "block_l", "block_d", "interpret"),
+)
+def scan_chunked_pallas(
+    u: Array,            # (B, L, D)
+    delta: Array,        # (B, L, D)
+    A: Array,            # (D, N) f32 (negative)
+    B: Array,            # (B, L, N)
+    C: Array,            # (B, L, N)
+    D: Optional[Array],  # (D,) f32 or None
+    z: Optional[Array],  # (B, L, D) or None
+    delta_bias: Optional[Array],  # (D,) f32 or None
+    h0: Array,           # (B, D, N) f32 (contract layout)
+    softplus: bool = True,
+    has_z: bool = True,
+    block_l: int = DEFAULT_BLOCK_L,
+    block_d: int = 0,
+    interpret: bool = False,
+) -> Tuple[Array, Array]:
+    """Fused selective scan. Returns (y (B, L, D) in u.dtype, h_last (B, D, N) f32)."""
+    from videomamba_tpu.ops.dispatch import interpret_mode
+
+    if interpret_mode():
+        interpret = True
+    bsz, seqlen, d = u.shape
+    n = A.shape[1]
+    if block_d == 0:
+        block_d = _pick_block_d(d)
+    if block_d == 0 or n % 8 != 0:
+        raise ValueError(
+            f"Pallas scan unsupported for D={d}, N={n}; use the XLA path."
+        )
+    block_l = min(block_l, max(8, seqlen))
+    block_l = ((block_l + 7) // 8) * 8  # group-of-8 time walk needs this
+
+    pad = (-seqlen) % block_l
+    lpad = seqlen + pad
+    if pad:
+        # softplus(-1e30 + bias) == 0 => a=1, b=0: state passthrough. For the
+        # no-softplus case delta itself must be zero in padding.
+        delta_pad_val = -1e30 if softplus else 0.0
+        u = jnp.pad(u, ((0, 0), (0, pad), (0, 0)))
+        delta = jnp.pad(
+            delta, ((0, 0), (0, pad), (0, 0)), constant_values=delta_pad_val
+        )
+        B = jnp.pad(B, ((0, 0), (0, pad), (0, 0)))
+        C = jnp.pad(C, ((0, 0), (0, pad), (0, 0)))
+        if z is not None:
+            z = jnp.pad(z, ((0, 0), (0, pad), (0, 0)))
+
+    if z is None:
+        z = u  # placeholder, kernel compiled with has_z=False ignores values
+        has_z = False
+
+    bt = B.swapaxes(1, 2)  # (B, N, L) time-minor
+    ct = C.swapaxes(1, 2)
+    a_t = A.T.astype(jnp.float32)  # (N, D)
+    dskip = (
+        D.astype(jnp.float32) if D is not None else jnp.zeros((d,), jnp.float32)
+    )[None, :]
+    dbias = (
+        delta_bias.astype(jnp.float32)
+        if delta_bias is not None
+        else jnp.zeros((d,), jnp.float32)
+    )[None, :]
+    h0_nd = h0.astype(jnp.float32).swapaxes(1, 2)  # (B, N, D)
+
+    grid = (bsz, d // block_d, lpad // block_l)
+
+    kernel = functools.partial(
+        _scan_kernel, block_l=block_l, softplus=softplus, has_z=has_z
+    )
+
+    y, h_last = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_l, block_d), lambda b, j, l: (b, l, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_l, block_d), lambda b, j, l: (b, l, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_l, block_d), lambda b, j, l: (b, l, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, block_l), lambda b, j, l: (b, 0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, block_l), lambda b, j, l: (b, 0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, block_d), lambda b, j, l: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_d), lambda b, j, l: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_d), lambda b, j, l: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, block_d), lambda b, j, l: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_l, block_d), lambda b, j, l: (b, l, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, block_d), lambda b, j, l: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, lpad, d), u.dtype),
+            jax.ShapeDtypeStruct((bsz, n, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, block_d), jnp.float32),
+            pltpu.VMEM((block_l, block_d), jnp.float32),
+            pltpu.VMEM((block_l, block_d), jnp.float32),
+            pltpu.VMEM((block_l, block_d), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * bsz * lpad * n * d,
+            bytes_accessed=bsz * lpad * d * 4 * 4 + bsz * lpad * n * 2 * 4,
+            transcendentals=bsz * lpad * n * d,
+        ),
+    )(u, delta, z, bt, ct, a_t, dskip, dbias, h0_nd)
+
+    if pad:
+        y = y[:, :seqlen]
+    return y, h_last.swapaxes(1, 2)  # h_last back to (B, D, N)

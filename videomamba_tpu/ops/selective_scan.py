@@ -151,6 +151,64 @@ def _scan_chunked_bld(
     return y, h_last
 
 
+def _xla_fused_scan(u, delta, A, B, C, D, z, delta_bias, h0, softplus,
+                    chunk_size=DEFAULT_CHUNK_SIZE):
+    """Fully-fused XLA scan (prepare + recurrence + D-skip + z-gate).
+
+    Reference semantics in one differentiable function; used directly and as
+    the recomputation backward for the Pallas kernel.
+    """
+    dtype_in = u.dtype
+    u32 = u.astype(jnp.float32)
+    delta32 = _prepare_delta(delta, delta_bias, softplus)
+    y, h_last = _scan_chunked_bld(
+        u32, delta32, A.astype(jnp.float32), B.astype(jnp.float32),
+        C.astype(jnp.float32), h0.astype(jnp.float32).swapaxes(1, 2),
+        chunk_size,
+    )
+    out = y
+    if D is not None:
+        out = out + u32 * D.astype(jnp.float32)[None, None, :]
+    if z is not None:
+        zf = z.astype(jnp.float32)
+        out = out * (zf * jax.nn.sigmoid(zf))
+    return out.astype(dtype_in), h_last.swapaxes(1, 2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def _pallas_fused_scan(u, delta, A, B, C, D, z, delta_bias, h0, softplus):
+    """Pallas forward / XLA-recompute backward fused selective scan."""
+    from videomamba_tpu.ops.pallas.scan import scan_chunked_pallas
+
+    return scan_chunked_pallas(
+        u, delta, A, B, C, D, z, delta_bias, h0,
+        softplus=softplus, has_z=z is not None,
+    )
+
+
+def _pallas_fused_scan_fwd(u, delta, A, B, C, D, z, delta_bias, h0, softplus):
+    out = _pallas_fused_scan(u, delta, A, B, C, D, z, delta_bias, h0, softplus)
+    return out, (u, delta, A, B, C, D, z, delta_bias, h0)
+
+
+def _pallas_fused_scan_bwd(softplus, residuals, cotangents):
+    args = residuals
+    present = [a is not None for a in args]
+    packed = tuple(a for a in args if a is not None)
+
+    def f(*p):
+        it = iter(p)
+        full = [next(it) if flag else None for flag in present]
+        return _xla_fused_scan(*full, softplus=softplus)
+
+    _, vjp = jax.vjp(f, *packed)
+    grads_packed = iter(vjp(cotangents))
+    return tuple(next(grads_packed) if flag else None for flag in present)
+
+
+_pallas_fused_scan.defvjp(_pallas_fused_scan_fwd, _pallas_fused_scan_bwd)
+
+
 def selective_scan_bld(
     u: Array,
     delta: Array,
@@ -191,6 +249,23 @@ def selective_scan_bld(
     dtype_in = u.dtype
     bsz, seqlen, d = u.shape
     n = A.shape[1]
+
+    if method == "pallas":
+        from videomamba_tpu.ops.pallas.scan import pallas_scan_supported
+
+        if pallas_scan_supported(d, n):
+            h0_full = (
+                jnp.zeros((bsz, d, n), jnp.float32)
+                if initial_state is None
+                else initial_state
+            )
+            out, h_last = _pallas_fused_scan(
+                u, delta, A, B, C, D, z, delta_bias, h0_full, delta_softplus
+            )
+            if return_last_state:
+                return out, h_last
+            return out
+        method = "chunked"  # shape not kernel-compatible; exact XLA fallback
 
     u32 = u.astype(jnp.float32)
     delta32 = _prepare_delta(delta, delta_bias, delta_softplus)
