@@ -70,6 +70,7 @@ class Block:
         ssm_state: Optional[Array] = None,
         drop_path_key: Optional[Array] = None,
         deterministic: bool = True,
+        inference_params=None,
     ) -> Union[Tuple[Array, Array], Tuple[Array, Array, LayerState]]:
         """Returns (hidden, residual) or (hidden, residual, new_state).
 
@@ -106,7 +107,10 @@ class Block:
                 return hidden, new_residual, new_state
             return mixer_out, new_residual
 
-        hidden = self.mixer(params["mixer"], normed, ssm_state=ssm_state)
+        hidden = self.mixer(
+            params["mixer"], normed, ssm_state=ssm_state,
+            inference_params=inference_params,
+        )
         return hidden, new_residual
 
     def allocate_state(self, batch_size: int, dtype=None) -> LayerState:

@@ -54,6 +54,23 @@ def _fused_disabled_by_env() -> bool:
     return os.getenv(_FUSED_KILL_SWITCH, "").lower() in {"1", "true", "yes", "y", "on"}
 
 
+@dataclasses.dataclass
+class InferenceCache:
+    """Decode-time cache — functional twin of the reference's
+    ``InferenceParamsLike`` protocol (mamba_simple.py:25-27).
+
+    Holds per-layer (conv_state, ssm_state) keyed by layer_idx. The arrays
+    themselves are immutable; "in-place update" happens at the Python dict
+    level, which preserves the reference calling convention (the cache object
+    is threaded through calls and mutated).
+    """
+
+    seqlen_offset: int = 0
+    key_value_memory_dict: Dict[int, LayerState] = dataclasses.field(
+        default_factory=dict
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class Mamba:
     """Selective-SSM mixer. Hyperparameters only; params live in a pytree.
@@ -165,6 +182,7 @@ class Mamba:
         state: Optional[LayerState] = None,
         return_state: bool = False,
         ssm_state: Optional[Array] = None,
+        inference_params: Optional["InferenceCache"] = None,
     ) -> Union[Array, Tuple[Array, LayerState]]:
         """Apply the mixer.
 
@@ -186,11 +204,49 @@ class Mamba:
         """
         if state is not None and ssm_state is not None:
             raise ValueError("Pass either state or ssm_state, not both.")
+        if inference_params is not None and state is not None:
+            raise ValueError("state is not supported with inference_params.")
+
+        bsz, seqlen, _ = hidden_states.shape
+
+        if inference_params is not None:
+            # Decode-cache path (reference mamba_simple.py:316-330): lazy
+            # per-layer allocation, reallocation on batch-size change, step()
+            # for post-prefill tokens, prefill writes the cache in place
+            # (Python-dict level) and ignores return_state.
+            conv_state, cache_ssm = self._get_states_from_cache(
+                inference_params, bsz
+            )
+            if ssm_state is None:
+                ssm_state = cache_ssm
+            if inference_params.seqlen_offset > 0:
+                out, new_conv, new_ssm = self.step(
+                    params, hidden_states, conv_state, ssm_state
+                )
+                assert self.layer_idx is not None
+                inference_params.key_value_memory_dict[self.layer_idx] = (
+                    new_conv, new_ssm
+                )
+                return out
+            # Prefill always convs with zero left-context and overwrites the
+            # conv window (reference :372-399), while the SSM scan starts
+            # from the cached ssm_state (:418-435, use_inplace_ssm).
+            out, (new_conv, new_ssm) = self(
+                params,
+                hidden_states,
+                state=(jnp.zeros_like(conv_state), ssm_state),
+                return_state=True,
+            )
+            assert self.layer_idx is not None
+            inference_params.key_value_memory_dict[self.layer_idx] = (
+                new_conv, new_ssm
+            )
+            return out
+
         conv_state = None
         if state is not None:
             conv_state, ssm_state = state
 
-        bsz, seqlen, _ = hidden_states.shape
         need_state = return_state
 
         xz = hidden_states @ params["in_proj"]["kernel"]
@@ -328,3 +384,29 @@ class Mamba:
         (the reference's two spellings of d_inner, mamba_simple.py:499-520)."""
         del max_seqlen
         return self.allocate_state(batch_size, dtype=dtype)
+
+    def _get_states_from_cache(
+        self,
+        inference_params: "InferenceCache",
+        batch_size: int,
+        initialize_states: bool = False,
+    ) -> LayerState:
+        """Lazy cache lookup with batch-size reallocation
+        (mamba_simple.py:546-590)."""
+        if self.layer_idx is None:
+            raise ValueError("inference_params requires a layer_idx.")
+        cache = inference_params.key_value_memory_dict
+        if self.layer_idx not in cache:
+            cache[self.layer_idx] = self.allocate_state(batch_size)
+        else:
+            conv_state, ssm_state = cache[self.layer_idx]
+            if (
+                conv_state.shape[0] != batch_size
+                or ssm_state.shape[0] != batch_size
+            ):
+                cache[self.layer_idx] = self.allocate_state(batch_size)
+            elif initialize_states:
+                cache[self.layer_idx] = (
+                    jnp.zeros_like(conv_state), jnp.zeros_like(ssm_state)
+                )
+        return cache[self.layer_idx]
