@@ -146,6 +146,10 @@ def main():
     details.update(
         bench_streaming(videomamba_base, "base_stream", 64, 1, "bf16", args.quick)
     )
+    # Multi-stream serving preset: 4 independent streams batched per chip.
+    details.update(
+        bench_streaming(videomamba_base, "base_stream_b4", 64, 4, "bf16", args.quick)
+    )
     details.update(
         bench_streaming(videomamba_tiny, "tiny_stream", 16, 1, "bf16", args.quick)
     )

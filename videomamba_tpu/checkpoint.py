@@ -319,6 +319,34 @@ def load_params(path: str, template: Params) -> Params:
         return serialization.from_bytes(template, f.read())
 
 
+def save_train_state(path: str, params: Params, opt_state, step) -> None:
+    """Full training checkpoint: params + optimizer state + step counter.
+
+    The reference defers optimizer-state/resume to DeepSpeed (SURVEY §5);
+    here it is first-class: one msgpack blob, sharding-agnostic (arrays are
+    gathered on save; re-shard with jax.device_put after load).
+    """
+    from flax import serialization
+
+    state = {"params": params, "opt_state": opt_state, "step": step}
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(state))
+
+
+def load_train_state(path: str, params_template: Params, opt_state_template, step_template):
+    """Restore a checkpoint written by :func:`save_train_state`."""
+    from flax import serialization
+
+    template = {
+        "params": params_template,
+        "opt_state": opt_state_template,
+        "step": step_template,
+    }
+    with open(path, "rb") as f:
+        state = serialization.from_bytes(template, f.read())
+    return state["params"], state["opt_state"], state["step"]
+
+
 def load_timm_npz(checkpoint_path: str, model, prefix: str = "") -> Params:
     """Best-effort timm/ViT ``.npz`` loader (reference ``load_pretrained``,
     videomamba.py:587-589 delegating to timm ``_load_weights``).

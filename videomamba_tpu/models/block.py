@@ -96,6 +96,7 @@ class Block:
             residual_in_fp32=self.residual_in_fp32,
             eps=self.norm_epsilon,
             norm_type=self.norm_type,
+            use_pallas=self.fused_add_norm,
         )
 
         if state is not None:

@@ -582,6 +582,7 @@ class PretrainVideoMamba:
             residual_in_fp32=self.residual_in_fp32,
             eps=self.norm_epsilon,
             norm_type="rms" if self.rms_norm else "layer",
+            use_pallas=self.fused_add_norm,
         )
         return hidden_states, new_states
 

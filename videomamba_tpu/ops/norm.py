@@ -24,6 +24,51 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _fused_add_norm_pallas_vjp(x, weight, bias, residual,
+                               prenorm, residual_in_fp32, eps, norm_type):
+    """Pallas forward / XLA-recompute backward for the fused add-norm."""
+    from videomamba_tpu.ops.pallas.fused_add_norm import fused_add_norm_pallas
+
+    return fused_add_norm_pallas(
+        x, weight, bias, residual=residual, prenorm=prenorm,
+        residual_in_fp32=residual_in_fp32, eps=eps, norm_type=norm_type,
+    )
+
+
+def _fan_fwd(x, weight, bias, residual, prenorm, residual_in_fp32, eps, norm_type):
+    out = _fused_add_norm_pallas_vjp(
+        x, weight, bias, residual, prenorm, residual_in_fp32, eps, norm_type
+    )
+    return out, (x, weight, bias, residual)
+
+
+def _fan_bwd(prenorm, residual_in_fp32, eps, norm_type, residuals, cts):
+    x, weight, bias, residual = residuals
+    args = (x, weight, bias, residual)
+    present = [a is not None for a in args]
+    packed = tuple(a for a in args if a is not None)
+
+    def f(*p):
+        it = iter(p)
+        full = [next(it) if flag else None for flag in present]
+        return fused_add_norm(
+            full[0], full[1], full[2], residual=full[3], prenorm=prenorm,
+            residual_in_fp32=residual_in_fp32, eps=eps, norm_type=norm_type,
+            use_pallas=False,
+        )
+
+    _, vjp = jax.vjp(f, *packed)
+    grads = iter(vjp(cts))
+    return tuple(next(grads) if flag else None for flag in present)
+
+
+_fused_add_norm_pallas_vjp.defvjp(_fan_fwd, _fan_bwd)
+
+
 def rms_norm(x: Array, weight: Array, eps: float = 1e-5) -> Array:
     """RMSNorm over the last axis, float32 internals, output in x.dtype."""
     x32 = x.astype(jnp.float32)
@@ -55,6 +100,7 @@ def fused_add_norm(
     residual_in_fp32: bool = False,
     eps: float = 1e-5,
     norm_type: str = "rms",
+    use_pallas: bool = False,
 ) -> Union[Array, Tuple[Array, Array]]:
     """Residual-add followed by normalization, in one logical op.
 
@@ -67,10 +113,27 @@ def fused_add_norm(
         residual_in_fp32: keep the returned residual in float32.
         eps: norm epsilon.
         norm_type: "rms" or "layer".
+        use_pallas: take the Pallas fused kernel when available (TPU and
+            lane-aligned feature dim); falls back to the identical XLA
+            composition otherwise. This is the ``fused_add_norm`` model flag.
 
     Returns:
         normed, or (normed, residual_out) when prenorm=True.
     """
+    if use_pallas:
+        from videomamba_tpu.ops import dispatch
+        from videomamba_tpu.ops.pallas.fused_add_norm import (
+            fused_add_norm_supported,
+        )
+
+        if (dispatch.on_tpu() or dispatch.interpret_mode()) and (
+            fused_add_norm_supported(x.shape[-1])
+        ):
+            return _fused_add_norm_pallas_vjp(
+                x, weight, bias, residual,
+                prenorm, residual_in_fp32, eps, norm_type,
+            )
+
     if residual is not None:
         residual_out = x.astype(jnp.float32) + residual.astype(jnp.float32)
     else:
