@@ -9,6 +9,7 @@ from videomamba_tpu.parallel.mesh import (
     replicated,
     shard_params,
 )
+from videomamba_tpu.parallel.sequence import sequence_parallel_scan
 from videomamba_tpu.parallel.train_step import (
     init_train_state,
     make_train_step,
@@ -21,5 +22,6 @@ __all__ = [
     "make_train_step",
     "param_shardings",
     "replicated",
+    "sequence_parallel_scan",
     "shard_params",
 ]
