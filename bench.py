@@ -26,26 +26,31 @@ import json
 import time
 
 
-def _chain_seconds_per_iter(step_fn, carry0, n_small=2, n_big=10, repeats=2):
-    """Median seconds/iter of a dependent chain, differencing two lengths."""
+def _chain_seconds_per_iter(step_fn, carry0, xs=(), n_small=2, n_big=10, repeats=2):
+    """Median seconds/iter of a dependent chain, differencing two lengths.
+
+    ``xs`` (weights, inputs) are passed as jit ARGUMENTS — closing over large
+    arrays would embed them as compile-time constants, which both bloats the
+    compile payload and lets XLA pre-fold work, distorting the measurement.
+    """
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def run(carry, n):
-        out = jax.lax.fori_loop(0, n, lambda i, c: step_fn(c), carry)
+    def run(carry, n, *xs):
+        out = jax.lax.fori_loop(0, n, lambda i, c: step_fn(c, *xs), carry)
         # Reduce to a scalar that depends on the whole carry.
         leaves = jax.tree_util.tree_leaves(out)
         return sum(jnp.sum(l.astype(jnp.float32) * 0) + jnp.ravel(l)[0].astype(jnp.float32)
                    for l in leaves)
 
-    jax.device_get(run(carry0, n_small))  # compile + warm
+    jax.device_get(run(carry0, n_small, *xs))  # compile + warm
     samples = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.device_get(run(carry0, n_big))
+        jax.device_get(run(carry0, n_big, *xs))
         t1 = time.perf_counter()
-        jax.device_get(run(carry0, n_small))
+        jax.device_get(run(carry0, n_small, *xs))
         t2 = time.perf_counter()
         samples.append(((t1 - t0) - (t2 - t1)) / (n_big - n_small))
     samples.sort()
@@ -67,19 +72,19 @@ def bench_streaming(preset_fn, name, chunk_frames, batch_size, dtype_name, quick
     )
     state0 = model.allocate_state(batch_size)
 
-    def step(carry):
+    def step(carry, chunk_arg, params_arg):
         state, acc = carry
         out, new_state = model.forward_features(
             # Perturb input by the dependent scalar: forces true sequencing.
-            chunk + (acc * 1e-6).astype(dtype),
+            chunk_arg + (acc * 1e-6).astype(dtype),
             ssm_state=state,
             temporal_pos_offset=1,  # continuation specialization (no CLS)
-            params=params,
+            params=params_arg,
         )
         return new_state, jnp.mean(out).astype(jnp.float32)
 
     sec = _chain_seconds_per_iter(
-        step, (state0, jnp.zeros((), jnp.float32)),
+        step, (state0, jnp.zeros((), jnp.float32)), xs=(chunk, params),
         n_small=1, n_big=4 if quick else 10,
     )
     frames = batch_size * chunk_frames
@@ -102,15 +107,16 @@ def bench_full_clip(preset_fn, name, num_frames, batch_size, dtype_name, quick):
         jax.random.PRNGKey(0), (batch_size, 3, num_frames, 224, 224), dtype
     )
 
-    def step(carry):
+    def step(carry, x_arg, params_arg):
         acc = carry
         x_vis, x_pool = model.forward(
-            x + (acc * 1e-6).astype(dtype), params=params
+            x_arg + (acc * 1e-6).astype(dtype), params=params_arg
         )
         return jnp.mean(x_pool).astype(jnp.float32)
 
     sec = _chain_seconds_per_iter(
-        step, jnp.zeros((), jnp.float32), n_small=1, n_big=3 if quick else 6
+        step, jnp.zeros((), jnp.float32), xs=(x, params),
+        n_small=1, n_big=3 if quick else 6,
     )
     return {f"{name}_clips_per_sec": batch_size / sec}
 
