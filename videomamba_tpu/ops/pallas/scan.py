@@ -95,6 +95,7 @@ def _scan_kernel(
     b_blk = b_ref[0].astype(jnp.float32)             # (N, c)
     c_blk = c_ref[0].astype(jnp.float32)             # (N, c)
     time_ids = lax.broadcasted_iota(jnp.int32, (1, b_blk.shape[1]), 1)  # (1, c)
+    col_ids = lax.broadcasted_iota(jnp.int32, (1, 8), 1)                # (1, g)
 
     # Mosaic alignment rules shape the loop: dynamic sublane indices must be
     # 8-aligned, and dynamic lane indices are not addressable at all. So the
@@ -113,6 +114,9 @@ def _scan_kernel(
         # shortens the carried-h chain costs ~2x elementwise work and is
         # slower end to end. exp is batched per group off the serial chain.
         dA8 = jnp.exp(d_rows[:, None, :] * a_t[None, :, :])  # (g, N, dt)
+        # Per-step one-hot masked reductions are the fastest extraction
+        # measured (MXU matvec variants force lane relayouts and are 3x
+        # slower; lane reductions here overlap well with the h chain).
         ys = []
         for k in range(group):
             onehot = (time_ids == base + k).astype(jnp.float32)  # (1, c)
