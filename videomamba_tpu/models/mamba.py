@@ -254,6 +254,10 @@ class Mamba:
             xz = xz + params["in_proj"]["bias"]
         x, z = jnp.split(xz, 2, axis=-1)
 
+        # Conv stays on the XLA path: measured on v5e, the shifted-multiply
+        # composition fuses into one pass and beats the Pallas conv kernel at
+        # B=1 (0.16ms vs 0.30ms, Base shapes) and ties it at B=4. The kernel
+        # remains available via causal_conv1d(use_pallas=True).
         conv_out = causal_conv1d(
             x,
             params["conv1d"]["weight"],

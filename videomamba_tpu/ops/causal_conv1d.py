@@ -14,12 +14,49 @@ like the reference (mamba_simple.py:381-404).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _pallas_conv(x, weight, bias, initial_state, activation):
+    from videomamba_tpu.ops.pallas.causal_conv import causal_conv1d_pallas
+
+    return causal_conv1d_pallas(
+        x, weight, bias, initial_state, activation=activation
+    )
+
+
+def _pallas_conv_fwd(x, weight, bias, initial_state, activation):
+    out = _pallas_conv(x, weight, bias, initial_state, activation)
+    return out, (x, weight, bias, initial_state)
+
+
+def _pallas_conv_bwd(activation, residuals, ct):
+    x, weight, bias, initial_state = residuals
+    args = (x, weight, bias, initial_state)
+    present = [a is not None for a in args]
+    packed = tuple(a for a in args if a is not None)
+
+    def f(*p):
+        it = iter(p)
+        full = [next(it) if flag else None for flag in present]
+        return causal_conv1d(
+            full[0], full[1], full[2], activation=activation,
+            initial_state=full[3], use_pallas=False,
+        )
+
+    _, vjp = jax.vjp(f, *packed)
+    grads = iter(vjp(ct))
+    return tuple(next(grads) if flag else None for flag in present)
+
+
+_pallas_conv.defvjp(_pallas_conv_fwd, _pallas_conv_bwd)
 
 
 def causal_conv1d(
@@ -29,6 +66,7 @@ def causal_conv1d(
     activation: Optional[str] = "silu",
     initial_state: Optional[Array] = None,
     return_final_state: bool = False,
+    use_pallas: bool = False,
 ) -> Union[Array, Tuple[Array, Array]]:
     """Causal depthwise conv along the time axis, with optional carried state.
 
@@ -54,6 +92,30 @@ def causal_conv1d(
     bsz, seqlen, d = x.shape
     w = weight.shape[0]
     dtype_in = x.dtype
+
+    if use_pallas:
+        from videomamba_tpu.ops import dispatch
+        from videomamba_tpu.ops.pallas.causal_conv import pallas_conv_supported
+
+        if (dispatch.on_tpu() or dispatch.interpret_mode()) and (
+            pallas_conv_supported(d, seqlen, w)
+        ):
+            state_in = (
+                initial_state
+                if initial_state is not None
+                else jnp.zeros((bsz, d, w), x.dtype)
+            )
+            y = _pallas_conv(x, weight, bias, state_in, activation)
+            if not return_final_state:
+                return y
+            full = jnp.concatenate(
+                [state_in.swapaxes(1, 2).astype(dtype_in), x], axis=1
+            )
+            if initial_state is None:
+                # Fresh-state semantics: zero-pad, not the dummy zeros window
+                # (identical values here, but keep dtype/len rules uniform).
+                full = jnp.pad(x, ((0, 0), (w, 0), (0, 0)))
+            return y, full[:, -w:].swapaxes(1, 2)
 
     x32 = x.astype(jnp.float32)
     if initial_state is not None:
