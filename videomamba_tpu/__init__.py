@@ -25,12 +25,14 @@ from videomamba_tpu.models.presets import (
     videomamba_small,
     videomamba_tiny,
 )
+from videomamba_tpu.models.mamba import InferenceCache
 from videomamba_tpu.models.refiner import BiMambaRefinerBlock
 from videomamba_tpu.models.videomamba import (
     PatchEmbed,
     PretrainVideoMamba,
     build_videomamba,
 )
+from videomamba_tpu.runtime import StreamingSession
 from videomamba_tpu.streaming import (
     STREAMING_CONTRACT_VERSION,
     ForwardReturnSemantics,
@@ -51,8 +53,10 @@ __all__ = [
     "Block",
     "DeterminismConfig",
     "ForwardReturnSemantics",
+    "InferenceCache",
     "LayerState",
     "Mamba",
+    "StreamingSession",
     "PatchEmbed",
     "PretrainVideoMamba",
     "STREAMING_CONTRACT_VERSION",

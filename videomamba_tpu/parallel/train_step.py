@@ -96,4 +96,36 @@ def init_train_state(
         model.params = params
     opt_state = jax.jit(tx.init)(params)
     step = jnp.zeros((), jnp.int32)
+    if mesh is not None:
+        # Commit the whole state with the shardings the train step will
+        # produce, so step 0's inputs and step 1's inputs have identical
+        # layouts (otherwise the step compiles twice): optimizer-state leaves
+        # that mirror a parameter (optax mu/nu subtrees embed the params
+        # pytree) take that parameter's sharding; scalars and the step
+        # counter are replicated.
+        opt_state = jax.device_put(
+            opt_state, _opt_state_shardings(opt_state, params, mesh)
+        )
+        step = jax.device_put(step, mesh_lib.replicated(mesh))
     return params, opt_state, step
+
+
+def _opt_state_shardings(opt_state, params: Params, mesh):
+    """Shardings for an optax state: match leaves to params by path suffix."""
+    param_sh = {
+        jax.tree_util.keystr(kp): leaf.sharding
+        for kp, leaf in jax.tree_util.tree_flatten_with_path(params)[0]
+    }
+    rep = mesh_lib.replicated(mesh)
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(opt_state)
+    out = []
+    for kp, leaf in flat:
+        path = jax.tree_util.keystr(kp)
+        sh = rep
+        for ppath, psh in param_sh.items():
+            if path.endswith(ppath):
+                sh = psh
+                break
+        out.append(sh)
+    return jax.tree_util.tree_unflatten(treedef, out)
