@@ -21,7 +21,6 @@ clips/sec, chunked-vs-full feature rel-err (driver bar <=1e-3).
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import time
 

@@ -74,4 +74,8 @@ __all__ = [
     "model_forward_return_semantics",
     "next_rng_key",
     "validate_state",
+    "videomamba_base",
+    "videomamba_middle",
+    "videomamba_small",
+    "videomamba_tiny",
 ]

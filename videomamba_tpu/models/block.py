@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from videomamba_tpu.models.mamba import Mamba
-from videomamba_tpu.ops.norm import fused_add_norm, layer_norm, rms_norm
+from videomamba_tpu.ops.norm import fused_add_norm
 
 Array = jax.Array
 Params = Dict[str, Any]

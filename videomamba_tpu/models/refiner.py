@@ -10,8 +10,7 @@ reference (:115-127).
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Dict, Optional, Tuple, Union
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

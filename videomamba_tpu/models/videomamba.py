@@ -30,7 +30,7 @@ Forward-return contract (frozen, streaming.py):
 from __future__ import annotations
 
 import logging
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Any, Dict, List, Optional, Tuple, Union
 
 import numpy as np
 import jax
@@ -38,12 +38,10 @@ import jax.numpy as jnp
 
 from videomamba_tpu.models import initializers as init
 from videomamba_tpu.models.block import Block, create_block
-from videomamba_tpu.models.mamba import Mamba
 from videomamba_tpu.ops.norm import fused_add_norm
 from videomamba_tpu.ops.resample import (
     infer_spatial_grid,
     resample_bicubic_2d,
-    resample_linear_1d,
 )
 from videomamba_tpu.streaming import (
     STREAMING_CONTRACT_VERSION,

@@ -11,7 +11,7 @@ composition in ops/norm.py, which is numerically identical.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

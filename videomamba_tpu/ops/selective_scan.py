@@ -175,9 +175,202 @@ def _xla_fused_scan(u, delta, A, B, C, D, z, delta_bias, h0, softplus,
     return out.astype(dtype_in), h_last.swapaxes(1, 2)
 
 
+def _fused_scan_bwd_impl(residuals, cotangents, softplus,
+                         chunk_size=DEFAULT_CHUNK_SIZE):
+    """Hand-derived backward of the fused selective scan.
+
+    Why manual: the gradient of the first-order recurrence is itself a
+    first-order recurrence (reversed in time), so the whole backward is two
+    more chunked associative scans plus elementwise math — whereas letting
+    JAX differentiate through ``lax.associative_scan`` produces a program an
+    order of magnitude slower (measured: dominates the Base training step).
+
+    Derivation (0-based t, fp32 internals; hp = h_{t-1}):
+      out_t = (y_t + D u_t) * silugate(z_t),  y_t = sum_n C_tn h_tnd
+      h_t = a_t h_{t-1} + delta_t u_t B_tn,   a_t = exp(delta_t A)
+      dh_t = C_tn dy_td + a_{t+1} dh_{t+1}  (+ g_hlast at t = L-1)
+      Carry s_t := a_{t+1} dh_{t+1}; then s_{t-1} = a_t (contrib_t + s_t) —
+      chunk-local coefficients, associative-scannable over reversed time;
+      the final carry is exactly dh0.
+      da = dh * h_{t-1};  dA += sum da*a*delta;  ddelta = sum_n da*a*A
+        + u * (sum_n dh*B);  du = delta * (sum_n dh*B) + D-skip/gate parts;
+      dB = sum_d dh*delta*u;  dC = sum_d h*dy;
+      softplus chain: sigmoid(raw+bias) == 1 - exp(-delta).
+    """
+    u, delta_raw, A, B, C, D, z, delta_bias, h0 = residuals
+    g_out, g_hlast = cotangents
+
+    bsz, seqlen, d = u.shape
+    n = A.shape[1]
+    A32 = A.astype(jnp.float32)
+    A_t = A32.T  # (N, D)
+
+    u32 = u.astype(jnp.float32)
+    delta32 = _prepare_delta(delta_raw, delta_bias, softplus)
+    g32 = g_out.astype(jnp.float32)
+    z32 = z.astype(jnp.float32) if z is not None else None
+    D32 = D.astype(jnp.float32) if D is not None else None
+
+    chunk = min(chunk_size, seqlen)
+    pad = (-seqlen) % chunk
+    if pad:
+        zpad = ((0, 0), (0, pad), (0, 0))
+        u32 = jnp.pad(u32, zpad)
+        delta32 = jnp.pad(delta32, zpad)  # delta=0 => a=1: state/grad no-op
+        B = jnp.pad(B, zpad)
+        C = jnp.pad(C, zpad)
+        g32 = jnp.pad(g32, zpad)
+        if z32 is not None:
+            z32 = jnp.pad(z32, zpad)
+    num_chunks = (seqlen + pad) // chunk
+
+    def to_chunks(x):
+        return x.reshape(bsz, num_chunks, chunk, x.shape[-1]).swapaxes(0, 1)
+
+    u_c = to_chunks(u32)
+    delta_c = to_chunks(delta32)
+    B_c = to_chunks(B.astype(jnp.float32))
+    C_c = to_chunks(C.astype(jnp.float32))
+    g_c = to_chunks(g32)
+    z_c = to_chunks(z32) if z32 is not None else None
+
+    h0_nd = h0.astype(jnp.float32).swapaxes(1, 2)  # (B, N, D)
+
+    # ---- pass 1 (forward): carry-in state of every chunk (checkpoints).
+    def fwd_bound_body(h, xs):
+        u_k, delta_k, B_k = xs
+        a = jnp.exp(delta_k[:, :, None, :] * A_t[None, None])
+        b = (delta_k * u_k)[:, :, None, :] * B_k[..., None]
+        b = b.at[:, 0].add(a[:, 0] * h)
+        _, h_all = lax.associative_scan(_first_order_combine, (a, b), axis=1)
+        return h_all[:, -1], h
+
+    _, h_in = lax.scan(fwd_bound_body, h0_nd, (u_c, delta_c, B_c))
+    # h_in[k] = state entering chunk k, shape (K, B, N, D)
+
+    # ---- pass 2 (reverse over chunks): gradients.
+    hlast_ct = (
+        g_hlast.astype(jnp.float32).swapaxes(1, 2)
+        if g_hlast is not None
+        else jnp.zeros((bsz, n, d), jnp.float32)
+    )
+    dA_acc0 = jnp.zeros((n, d), jnp.float32)
+    dD_acc0 = jnp.zeros((d,), jnp.float32)
+    dbias_acc0 = jnp.zeros((d,), jnp.float32)
+
+    def bwd_chunk(carry, xs):
+        s_carry, dA_acc, dD_acc, dbias_acc = carry
+        u_k, delta_k, B_k, C_k, g_k, z_k, h_in_k = xs
+
+        a = jnp.exp(delta_k[:, :, None, :] * A_t[None, None])  # (B,c,N,D)
+        dbu = (delta_k * u_k)[:, :, None, :] * B_k[..., None]
+
+        # Recompute within-chunk states and their predecessors.
+        b_fold = dbu.at[:, 0].add(a[:, 0] * h_in_k)
+        _, h_all = lax.associative_scan(_first_order_combine, (a, b_fold), axis=1)
+        h_prev = jnp.concatenate([h_in_k[:, None], h_all[:, :-1]], axis=1)
+
+        # Gate / D-skip local grads.
+        y_pre = jnp.einsum(
+            "bcnd,bcn->bcd", h_all, C_k, precision=jax.lax.Precision.HIGHEST
+        )
+        if D32 is not None:
+            pre = y_pre + u_k * D32[None, None, :]
+        else:
+            pre = y_pre
+        if z_k is not None:
+            sig = jax.nn.sigmoid(z_k)
+            gate = z_k * sig
+            g2 = g_k * gate
+            dz_k = g_k * pre * (sig * (1.0 + z_k * (1.0 - sig)))
+        else:
+            g2 = g_k
+            dz_k = jnp.zeros_like(g_k)
+        if D32 is not None:
+            dD_acc = dD_acc + jnp.sum(g2 * u_k, axis=(0, 1))
+        dy = g2  # (B,c,D)
+
+        # Reverse-time dh via an associative scan on flipped arrays:
+        # S_{r+1} = a_flip[r] * (contrib_flip[r] + S_r), S_0 = s_carry.
+        contrib = C_k[..., None] * dy[:, :, None, :]        # (B,c,N,D)
+        a_f = jnp.flip(a, axis=1)
+        bprime = a_f * jnp.flip(contrib, axis=1)
+        bprime = bprime.at[:, 0].add(a_f[:, 0] * s_carry)
+        _, S_incl = lax.associative_scan(_first_order_combine, (a_f, bprime), axis=1)
+        S_excl = jnp.concatenate([s_carry[:, None], S_incl[:, :-1]], axis=1)
+        dh = jnp.flip(jnp.flip(contrib, axis=1) + S_excl, axis=1)  # (B,c,N,D)
+        new_s_carry = S_incl[:, -1]  # = a_0 * dh_0 of this chunk
+
+        # Parameter/input grads.
+        da_a = dh * h_prev * a                               # da ⊙ a
+        dA_acc = dA_acc + jnp.sum(da_a * delta_k[:, :, None, :], axis=(0, 1))
+        term1 = jnp.einsum(
+            "bcnd,nd->bcd", da_a, A_t, precision=jax.lax.Precision.HIGHEST
+        )
+        sB = jnp.einsum(
+            "bcnd,bcn->bcd", dh, B_k, precision=jax.lax.Precision.HIGHEST
+        )
+        ddelta_k = term1 + u_k * sB
+        du_k = delta_k * sB
+        if D32 is not None:
+            du_k = du_k + g2 * D32[None, None, :]
+        dB_k = jnp.einsum(
+            "bcnd,bcd->bcn", dh, delta_k * u_k,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        dC_k = jnp.einsum(
+            "bcnd,bcd->bcn", h_all, dy, precision=jax.lax.Precision.HIGHEST
+        )
+
+        # delta -> raw-delta chain (softplus'(x) = sigmoid(x) = 1 - e^{-sp}).
+        if softplus:
+            ddelta_raw_k = ddelta_k * (1.0 - jnp.exp(-delta_k))
+        else:
+            ddelta_raw_k = ddelta_k
+        if delta_bias is not None:
+            dbias_acc = dbias_acc + jnp.sum(ddelta_raw_k, axis=(0, 1))
+
+        return (new_s_carry, dA_acc, dD_acc, dbias_acc), (
+            du_k, ddelta_raw_k, dB_k, dC_k, dz_k
+        )
+
+    xs = (u_c, delta_c, B_c, C_c, g_c,
+          z_c if z_c is not None else jnp.zeros_like(u_c), h_in)
+    xs_rev = jax.tree_util.tree_map(lambda x: jnp.flip(x, axis=0), xs)
+
+    def bwd_chunk_dispatch(carry, xs_one):
+        u_k, delta_k, B_k, C_k, g_k, z_k, h_in_k = xs_one
+        return bwd_chunk(
+            carry,
+            (u_k, delta_k, B_k, C_k, g_k,
+             z_k if z32 is not None else None, h_in_k),
+        )
+
+    (dh0_nd, dA32, dD32, dbias32), ys = lax.scan(
+        bwd_chunk_dispatch, (hlast_ct, dA_acc0, dD_acc0, dbias_acc0), xs_rev
+    )
+    du_r, ddelta_r, dB_r, dC_r, dz_r = ys  # (K, B, c, ...) in reverse order
+
+    def from_chunks(x, feat):
+        x = jnp.flip(x, axis=0).swapaxes(0, 1)
+        x = x.reshape(bsz, num_chunks * chunk, feat)
+        return x[:, :seqlen]
+
+    du = from_chunks(du_r, d).astype(u.dtype)
+    ddelta = from_chunks(ddelta_r, d).astype(delta_raw.dtype)
+    dB = from_chunks(dB_r, n).astype(B.dtype)
+    dC = from_chunks(dC_r, n).astype(C.dtype)
+    dz = from_chunks(dz_r, d).astype(z.dtype) if z is not None else None
+    dA = dA32.T.astype(A.dtype)  # accumulator is (N, D); primal A is (D, N)
+    dD = dD32.astype(D.dtype) if D is not None else None
+    dbias = dbias32.astype(delta_bias.dtype) if delta_bias is not None else None
+    dh0 = dh0_nd.swapaxes(1, 2).astype(h0.dtype)
+    return (du, ddelta, dA, dB, dC, dD, dz, dbias, dh0)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
 def _pallas_fused_scan(u, delta, A, B, C, D, z, delta_bias, h0, softplus):
-    """Pallas forward / XLA-recompute backward fused selective scan."""
+    """Pallas forward / hand-derived chunked-XLA backward."""
     from videomamba_tpu.ops.pallas.scan import scan_chunked_pallas
 
     return scan_chunked_pallas(
@@ -192,21 +385,34 @@ def _pallas_fused_scan_fwd(u, delta, A, B, C, D, z, delta_bias, h0, softplus):
 
 
 def _pallas_fused_scan_bwd(softplus, residuals, cotangents):
-    args = residuals
-    present = [a is not None for a in args]
-    packed = tuple(a for a in args if a is not None)
-
-    def f(*p):
-        it = iter(p)
-        full = [next(it) if flag else None for flag in present]
-        return _xla_fused_scan(*full, softplus=softplus)
-
-    _, vjp = jax.vjp(f, *packed)
-    grads_packed = iter(vjp(cotangents))
-    return tuple(next(grads_packed) if flag else None for flag in present)
+    return _fused_scan_bwd_impl(residuals, cotangents, softplus)
 
 
 _pallas_fused_scan.defvjp(_pallas_fused_scan_fwd, _pallas_fused_scan_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def _chunked_fused_scan(u, delta, A, B, C, D, z, delta_bias, h0, softplus,
+                        chunk_size):
+    """Chunked-XLA forward with the hand-derived chunked backward."""
+    return _xla_fused_scan(
+        u, delta, A, B, C, D, z, delta_bias, h0, softplus, chunk_size
+    )
+
+
+def _chunked_fused_scan_fwd(u, delta, A, B, C, D, z, delta_bias, h0, softplus,
+                            chunk_size):
+    out = _chunked_fused_scan(
+        u, delta, A, B, C, D, z, delta_bias, h0, softplus, chunk_size
+    )
+    return out, (u, delta, A, B, C, D, z, delta_bias, h0)
+
+
+def _chunked_fused_scan_bwd(softplus, chunk_size, residuals, cotangents):
+    return _fused_scan_bwd_impl(residuals, cotangents, softplus, chunk_size)
+
+
+_chunked_fused_scan.defvjp(_chunked_fused_scan_fwd, _chunked_fused_scan_bwd)
 
 
 def selective_scan_bld(
@@ -267,6 +473,20 @@ def selective_scan_bld(
             return out
         method = "chunked"  # shape not kernel-compatible; exact XLA fallback
 
+    if method == "chunked":
+        h0_full = (
+            jnp.zeros((bsz, d, n), jnp.float32)
+            if initial_state is None
+            else initial_state
+        )
+        out, h_last = _chunked_fused_scan(
+            u, delta, A, B, C, D, z, delta_bias, h0_full, delta_softplus,
+            chunk_size,
+        )
+        if return_last_state:
+            return out, h_last
+        return out
+
     u32 = u.astype(jnp.float32)
     delta32 = _prepare_delta(delta, delta_bias, delta_softplus)
     A32 = A.astype(jnp.float32)
@@ -280,8 +500,6 @@ def selective_scan_bld(
 
     if method == "ref":
         y, h_last = _scan_ref_bld(u32, delta32, A32, B32, C32, h0)
-    elif method == "chunked":
-        y, h_last = _scan_chunked_bld(u32, delta32, A32, B32, C32, h0, chunk_size)
     else:
         raise ValueError(f"Unknown selective_scan method: {method!r}")
 

@@ -26,8 +26,17 @@ from videomamba_tpu.parallel import mesh as mesh_lib
 Params = Dict[str, Any]
 
 
-def default_loss_fn(model, params, batch, rng):
-    """Feature-regression MSE on visible tokens; add_pool_norm-agnostic."""
+def default_loss_fn(model, params, batch, rng, compute_dtype=None):
+    """Feature-regression MSE on visible tokens; add_pool_norm-agnostic.
+
+    ``compute_dtype=jnp.bfloat16`` enables mixed precision: params are cast
+    inside the loss (fp32 masters stay with the optimizer), the input follows
+    the param dtype, and the loss reduces in fp32.
+    """
+    if compute_dtype is not None:
+        from videomamba_tpu.utils.precision import cast_params_for_compute
+
+        params = cast_params_for_compute(params, compute_dtype)
     out = model.apply(
         params, batch["video"], deterministic=False, rng=rng,
     )
@@ -54,6 +63,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     loss_fn: Optional[Callable] = None,
     donate: bool = True,
+    compute_dtype=None,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -61,9 +71,14 @@ def make_train_step(
     (params, opt_state, step_no+1, metrics). Under a mesh, pass params
     placed via parallel.mesh.shard_params and a batch placed via
     batch_sharding — the compiled step is then the full DP/FSDP/TP program.
+
+    ``compute_dtype=jnp.bfloat16`` turns on mixed precision for the default
+    loss (fp32 master weights, bf16 matmuls; ~3x step speedup on v5e).
     """
     if loss_fn is None:
-        loss_fn = functools.partial(default_loss_fn, model)
+        loss_fn = functools.partial(
+            default_loss_fn, model, compute_dtype=compute_dtype
+        )
 
     def train_step(params, opt_state, step_no, batch, rng):
         rng = jax.random.fold_in(rng, step_no)

@@ -10,7 +10,7 @@ multi-stream batching (each batch row is an independent video stream).
 from __future__ import annotations
 
 import time
-from typing import Any, Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
