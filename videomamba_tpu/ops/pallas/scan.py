@@ -20,10 +20,13 @@ Numerics match the pure-XLA implementations to ~1e-6 (tested in interpret
 mode on CPU and compiled on TPU); state is float32 throughout.
 
 The public entry :func:`scan_chunked_pallas` takes/returns the same
-(B, L, D)-layout contract as ``selective_scan_bld`` internals. The backward
-pass recomputes through the XLA chunked path (jax.custom_vjp in
-selective_scan.py), so training is always available; a hand-written Pallas
-backward is a later optimization.
+(B, L, D)-layout contract as ``selective_scan_bld`` internals; with
+``checkpoints=True`` it also emits the block-entry states that
+:func:`scan_bwd_pallas` — the hand-written Pallas backward kernel — consumes
+(forward-recompute within blocks from the checkpoints, reverse-time gradient
+accumulation, everything VMEM-resident). The hand-derived chunked-XLA
+backward in selective_scan.py remains the exact fallback and the gradient
+oracle both are tested against.
 """
 
 from __future__ import annotations
@@ -68,20 +71,26 @@ def _scan_kernel(
     h0_ref,       # (1, N, dt) f32
     y_ref,        # out (1, c, dt) dtype
     hlast_ref,    # out (1, N, dt) f32
-    h_scratch,    # (N, dt) f32
-    delta_scr,    # (c, dt) f32 — post-bias/softplus delta
-    du_scr,       # (c, dt) f32 — delta * u
-    yacc_scr,     # (c, dt) f32 — pre-epilogue scan output (single rounding)
-    *,
+    *rest,
     block_l: int,
     softplus: bool,
     has_z: bool,
+    checkpoints: bool = False,
 ):
+    if checkpoints:
+        hckpt_ref, h_scratch, delta_scr, du_scr, yacc_scr = rest
+    else:
+        h_scratch, delta_scr, du_scr, yacc_scr = rest
+        hckpt_ref = None
     l_idx = pl.program_id(2)
 
     @pl.when(l_idx == 0)
     def _():
         h_scratch[:] = h0_ref[0]
+
+    if checkpoints:
+        # Block-entry state: free residual for the Pallas backward.
+        hckpt_ref[0, 0] = h_scratch[:]
 
     # Vectorized block precompute (all f32), staged in VMEM scratch so the
     # time loop can take pl.ds row views (Mosaic has no array dynamic_slice).
@@ -144,7 +153,9 @@ def _scan_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("softplus", "has_z", "block_l", "block_d", "interpret"),
+    static_argnames=(
+        "softplus", "has_z", "block_l", "block_d", "interpret", "checkpoints",
+    ),
 )
 def scan_chunked_pallas(
     u: Array,            # (B, L, D)
@@ -161,8 +172,14 @@ def scan_chunked_pallas(
     block_l: int = DEFAULT_BLOCK_L,
     block_d: int = 0,
     interpret: bool = False,
-) -> Tuple[Array, Array]:
-    """Fused selective scan. Returns (y (B, L, D) in u.dtype, h_last (B, D, N) f32)."""
+    checkpoints: bool = False,
+):
+    """Fused selective scan. Returns (y (B, L, D) in u.dtype, h_last (B, D, N) f32).
+
+    With ``checkpoints=True`` additionally returns the block-entry states
+    hckpt (B, K, N, D) f32 (K = padded_L / block_l) — the residuals the
+    Pallas backward kernel consumes. hckpt[:, 0] equals h0.
+    """
     from videomamba_tpu.ops.dispatch import interpret_mode
 
     if interpret_mode():
@@ -211,12 +228,33 @@ def scan_chunked_pallas(
     h0_nd = h0.astype(jnp.float32).swapaxes(1, 2)  # (B, N, D)
 
     grid = (bsz, d // block_d, lpad // block_l)
+    num_blocks = lpad // block_l
 
     kernel = functools.partial(
-        _scan_kernel, block_l=block_l, softplus=softplus, has_z=has_z
+        _scan_kernel, block_l=block_l, softplus=softplus, has_z=has_z,
+        checkpoints=checkpoints,
     )
 
-    y, h_last = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, block_l, block_d), lambda b, j, l: (b, l, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n, block_d), lambda b, j, l: (b, 0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bsz, lpad, d), u.dtype),
+        jax.ShapeDtypeStruct((bsz, n, d), jnp.float32),
+    ]
+    if checkpoints:
+        out_specs.append(
+            pl.BlockSpec((1, 1, n, block_d), lambda b, j, l: (b, l, 0, j),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((bsz, num_blocks, n, d), jnp.float32)
+        )
+
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -239,16 +277,8 @@ def scan_chunked_pallas(
             pl.BlockSpec((1, n, block_d), lambda b, j, l: (b, 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, block_l, block_d), lambda b, j, l: (b, l, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, block_d), lambda b, j, l: (b, 0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bsz, lpad, d), u.dtype),
-            jax.ShapeDtypeStruct((bsz, n, d), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((n, block_d), jnp.float32),
             pltpu.VMEM((block_l, block_d), jnp.float32),
@@ -263,6 +293,368 @@ def scan_chunked_pallas(
         ),
     )(u, delta, z, bt, ct, a_t, dskip, dbias, h0_nd)
 
+    if checkpoints:
+        y, h_last, hckpt = outs
+    else:
+        y, h_last = outs
     if pad:
         y = y[:, :seqlen]
-    return y, h_last.swapaxes(1, 2)  # h_last back to (B, D, N)
+    h_last = h_last.swapaxes(1, 2)  # back to (B, D, N)
+    if checkpoints:
+        return y, h_last, hckpt
+    return y, h_last
+
+
+# ---------------------------------------------------------------- backward
+
+def _scan_bwd_kernel(
+    # inputs (blocks indexed in REVERSED time order)
+    u_ref,        # (1, c, dt)
+    delta_ref,    # (1, c, dt) raw delta
+    z_ref,        # (1, c, dt)
+    b_ref,        # (1, N, c)
+    c_ref,        # (1, N, c)
+    g_ref,        # (1, c, dt) cotangent of out
+    at_ref,       # (N, dt) f32
+    dskip_ref,    # (1, dt) f32
+    dbias_ref,    # (1, dt) f32
+    hckpt_ref,    # (1, 1, N, dt) f32 block-entry state
+    ghlast_ref,   # (1, N, dt) f32 cotangent of h_last
+    # outputs
+    du_ref,       # (1, c, dt)
+    dd_ref,       # (1, c, dt) d(raw delta)
+    dz_ref,       # (1, c, dt)
+    db_ref,       # (1, 1, N, c) per-d-tile partial
+    dc_ref,       # (1, 1, N, c) per-d-tile partial
+    da_ref,       # (1, N, dt) per-batch partial
+    ddsk_ref,     # (1, 1, dt) per-batch partial (D skip)
+    dbs_ref,      # (1, 1, dt) per-batch partial (delta bias)
+    dh0_ref,      # (1, N, dt)
+    # scratch
+    s_scr,        # (N, dt) f32 reverse carry
+    da_scr,       # (N, dt) f32 dA accumulator
+    ddsk_scr,     # (1, dt) f32
+    dbs_scr,      # (1, dt) f32
+    hbuf_scr,     # (c, N, dt) f32 pre-update states h_{t-1}
+    delta_scr,    # (c, dt) f32 softplus'ed delta
+    du_scr,       # (c, dt) f32 delta * u
+    g2_scr,       # (c, dt) f32 gate-scaled cotangent
+    pre_scr,      # (c, dt) f32 y_pre rows
+    dd_scr,       # (c, dt) f32 ddelta rows (pre-chain)
+    duo_scr,      # (c, dt) f32 du rows
+    dbacc_scr,    # (N, c) f32 dB block accumulator
+    dcacc_scr,    # (N, c) f32 dC block accumulator
+    *,
+    block_l: int,
+    softplus: bool,
+    has_z: bool,
+):
+    """Reverse-time gradient block (math in _fused_scan_bwd_impl's docstring).
+
+    Walks the block twice in 8-step groups: a forward recompute from the
+    block-entry checkpoint storing the pre-update states h_{t-1} in VMEM,
+    then the reverse accumulation carrying s_t = a_{t+1} dh_{t+1} across
+    blocks in scratch. Everything stays in VMEM; per-(b,j) partials of the
+    reduced grads (dA, dD, dbias) are summed outside.
+    """
+    l_idx = pl.program_id(2)
+    group = 8
+
+    @pl.when(l_idx == 0)
+    def _():
+        s_scr[:] = ghlast_ref[0]
+        da_scr[:] = jnp.zeros_like(da_scr)
+        ddsk_scr[:] = jnp.zeros_like(ddsk_scr)
+        dbs_scr[:] = jnp.zeros_like(dbs_scr)
+
+    # ---- vectorized block precompute.
+    delta = delta_ref[0].astype(jnp.float32) + dbias_ref[0][None, :]
+    if softplus:
+        delta = jax.nn.softplus(delta)
+    u = u_ref[0].astype(jnp.float32)
+    delta_scr[:] = delta
+    du_scr[:] = delta * u
+    g = g_ref[0].astype(jnp.float32)
+    if has_z:
+        zf = z_ref[0].astype(jnp.float32)
+        sig = jax.nn.sigmoid(zf)
+        g2_scr[:] = g * (zf * sig)
+    else:
+        g2_scr[:] = g
+    a_t = at_ref[:]                                  # (N, dt)
+    b_blk = b_ref[0].astype(jnp.float32)             # (N, c)
+    c_blk = c_ref[0].astype(jnp.float32)             # (N, c)
+    time_ids = lax.broadcasted_iota(jnp.int32, (1, b_blk.shape[1]), 1)
+    dbacc_scr[:] = jnp.zeros_like(dbacc_scr)
+    dcacc_scr[:] = jnp.zeros_like(dcacc_scr)
+
+    # ---- forward recompute storing PRE-update states h_{t-1}.
+    def fwd_body(gidx, h):
+        base = pl.multiple_of(gidx * group, group)
+        d_rows = delta_scr[pl.ds(base, group), :]
+        du_rows = du_scr[pl.ds(base, group), :]
+        dA8 = jnp.exp(d_rows[:, None, :] * a_t[None, :, :])
+        hs = []
+        for k in range(group):
+            onehot = (time_ids == base + k).astype(jnp.float32)
+            b_t = jnp.sum(b_blk * onehot, axis=1, keepdims=True)
+            hs.append(h)
+            h = dA8[k] * h + du_rows[k:k + 1, :] * b_t
+        hbuf_scr[pl.ds(base, group)] = jnp.stack(hs, axis=0)
+        return h
+
+    lax.fori_loop(0, block_l // group, fwd_body, hckpt_ref[0, 0])
+
+    # ---- reverse accumulation, 8-step groups walked back to front.
+    dskip_row = dskip_ref[0][None, :]                # (1, dt)
+
+    def bwd_body(gi, s):
+        gidx = (block_l // group) - 1 - gi
+        base = pl.multiple_of(gidx * group, group)
+        d_rows = delta_scr[pl.ds(base, group), :]
+        du_rows = du_scr[pl.ds(base, group), :]
+        u_rows = u_ref[0, pl.ds(base, group), :].astype(jnp.float32)
+        g2_rows = g2_scr[pl.ds(base, group), :]
+        hprev8 = hbuf_scr[pl.ds(base, group)]        # (8, N, dt)
+        dA8 = jnp.exp(d_rows[:, None, :] * a_t[None, :, :])
+        dd8 = []
+        duo8 = []
+        pre8 = []
+        da_local = None
+        db_local = None
+        dc_local = None
+        for k in reversed(range(group)):
+            onehot = (time_ids == base + k).astype(jnp.float32)  # (1, c)
+            b_t = jnp.sum(b_blk * onehot, axis=1, keepdims=True)  # (N, 1)
+            c_t = jnp.sum(c_blk * onehot, axis=1, keepdims=True)  # (N, 1)
+            dy_t = g2_rows[k:k + 1, :]               # (1, dt)
+            h_prev = hprev8[k]                       # (N, dt)
+            a_k = dA8[k]
+            h_t = a_k * h_prev + du_rows[k:k + 1, :] * b_t
+            dh = c_t * dy_t + s                      # (N, dt)
+            da_a = dh * h_prev * a_k
+            da_term = da_a * d_rows[k:k + 1, :]
+            da_local = da_term if da_local is None else da_local + da_term
+            term1 = jnp.sum(da_a * a_t, axis=0, keepdims=True)   # (1, dt)
+            sB = jnp.sum(dh * b_t, axis=0, keepdims=True)        # (1, dt)
+            dd8.append(term1 + u_rows[k:k + 1, :] * sB)
+            duo8.append(d_rows[k:k + 1, :] * sB + dy_t * dskip_row)
+            db_term = jnp.sum(dh * du_rows[k:k + 1, :], axis=1,
+                              keepdims=True) * onehot             # (N, c)
+            dc_term = jnp.sum(h_t * dy_t, axis=1, keepdims=True) * onehot
+            db_local = db_term if db_local is None else db_local + db_term
+            dc_local = dc_term if dc_local is None else dc_local + dc_term
+            pre8.append(jnp.sum(c_t * h_t, axis=0, keepdims=True))
+            s = a_k * dh
+        dd_scr[pl.ds(base, group), :] = jnp.concatenate(dd8[::-1], axis=0)
+        duo_scr[pl.ds(base, group), :] = jnp.concatenate(duo8[::-1], axis=0)
+        pre_scr[pl.ds(base, group), :] = jnp.concatenate(pre8[::-1], axis=0)
+        da_scr[:] += da_local
+        dbacc_scr[:] += db_local
+        dcacc_scr[:] += dc_local
+        return s
+
+    s_final = lax.fori_loop(0, block_l // group, bwd_body, s_scr[:])
+    s_scr[:] = s_final
+    dh0_ref[0] = s_final
+
+    # ---- vectorized epilogue.
+    ddelta = dd_scr[:]
+    if softplus:
+        ddelta_raw = ddelta * (1.0 - jnp.exp(-delta_scr[:]))
+    else:
+        ddelta_raw = ddelta
+    dbs_scr[:] += jnp.sum(ddelta_raw, axis=0, keepdims=True)
+    ddsk_scr[:] += jnp.sum(g2_scr[:] * u, axis=0, keepdims=True)
+
+    dd_ref[0] = ddelta_raw.astype(dd_ref.dtype)
+    du_ref[0] = duo_scr[:].astype(du_ref.dtype)
+    if has_z:
+        pre_full = pre_scr[:] + u * dskip_row
+        dz = g * pre_full * (sig * (1.0 + zf * (1.0 - sig)))
+        dz_ref[0] = dz.astype(dz_ref.dtype)
+    else:
+        dz_ref[0] = jnp.zeros_like(dz_ref[0])
+    db_ref[0, 0] = dbacc_scr[:]
+    dc_ref[0, 0] = dcacc_scr[:]
+    da_ref[0] = da_scr[:]
+    ddsk_ref[0, 0] = ddsk_scr[0]
+    dbs_ref[0, 0] = dbs_scr[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("softplus", "has_z", "block_l", "block_d", "interpret"),
+)
+def scan_bwd_pallas(
+    u: Array,            # (B, L, D)
+    delta: Array,        # (B, L, D) raw
+    A: Array,            # (D, N) f32
+    B: Array,            # (B, L, N)
+    C: Array,            # (B, L, N)
+    D: Optional[Array],
+    z: Optional[Array],
+    delta_bias: Optional[Array],
+    hckpt: Array,        # (B, K, N, Dm) f32 block-entry states (from fwd)
+    g_out: Array,        # (B, L, D) cotangent of out
+    g_hlast: Array,      # (B, D, N) f32 cotangent of h_last
+    softplus: bool = True,
+    has_z: bool = True,
+    block_l: int = DEFAULT_BLOCK_L,
+    block_d: int = 0,
+    interpret: bool = False,
+):
+    """Pallas backward of the fused selective scan.
+
+    Returns (du, ddelta, dA, dB, dC, dD, dz, dbias, dh0) with None in the
+    slots whose primal was None — same contract as _fused_scan_bwd_impl.
+    ``block_l`` MUST match the forward call that produced ``hckpt``.
+    """
+    from videomamba_tpu.ops.dispatch import interpret_mode
+
+    if interpret_mode():
+        interpret = True
+    bsz, seqlen, d = u.shape
+    n = A.shape[1]
+    if block_d == 0:
+        block_d = min(_pick_block_d(d), 256)
+    block_l = min(block_l, max(8, seqlen))
+    block_l = ((block_l + 7) // 8) * 8
+    num_blocks = hckpt.shape[1]
+
+    pad = (-seqlen) % block_l
+    lpad = seqlen + pad
+    assert lpad // block_l == num_blocks, "hckpt does not match block_l"
+    if pad:
+        delta_pad_val = -1e30 if softplus else 0.0
+        u = jnp.pad(u, ((0, 0), (0, pad), (0, 0)))
+        delta = jnp.pad(
+            delta, ((0, 0), (0, pad), (0, 0)), constant_values=delta_pad_val
+        )
+        B = jnp.pad(B, ((0, 0), (0, pad), (0, 0)))
+        C = jnp.pad(C, ((0, 0), (0, pad), (0, 0)))
+        g_out = jnp.pad(g_out, ((0, 0), (0, pad), (0, 0)))
+        if z is not None:
+            z = jnp.pad(z, ((0, 0), (0, pad), (0, 0)))
+
+    had_z = z is not None
+    if z is None:
+        z = u
+        has_z = False
+
+    bt = B.swapaxes(1, 2)
+    ct = C.swapaxes(1, 2)
+    a_t = A.T.astype(jnp.float32)
+    dskip = (
+        D.astype(jnp.float32) if D is not None else jnp.zeros((d,), jnp.float32)
+    )[None, :]
+    dbias = (
+        delta_bias.astype(jnp.float32)
+        if delta_bias is not None
+        else jnp.zeros((d,), jnp.float32)
+    )[None, :]
+    ghl = g_hlast.astype(jnp.float32).swapaxes(1, 2)  # (B, N, D)
+
+    kb = num_blocks
+    grid = (bsz, d // block_d, kb)
+    rev = lambda l: kb - 1 - l  # noqa: E731
+
+    kernel = functools.partial(
+        _scan_bwd_kernel, block_l=block_l, softplus=softplus, has_z=has_z
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_l, block_d),
+                         lambda b, j, l: (b, rev(l), j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_l, block_d),
+                         lambda b, j, l: (b, rev(l), j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_l, block_d),
+                         lambda b, j, l: (b, rev(l), j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, block_l),
+                         lambda b, j, l: (b, 0, rev(l)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, block_l),
+                         lambda b, j, l: (b, 0, rev(l)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_l, block_d),
+                         lambda b, j, l: (b, rev(l), j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, block_d), lambda b, j, l: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_d), lambda b, j, l: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_d), lambda b, j, l: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n, block_d),
+                         lambda b, j, l: (b, rev(l), 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, block_d), lambda b, j, l: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_l, block_d),
+                         lambda b, j, l: (b, rev(l), j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_l, block_d),
+                         lambda b, j, l: (b, rev(l), j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_l, block_d),
+                         lambda b, j, l: (b, rev(l), j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n, block_l),
+                         lambda b, j, l: (b, j, 0, rev(l)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n, block_l),
+                         lambda b, j, l: (b, j, 0, rev(l)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, block_d), lambda b, j, l: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_d), lambda b, j, l: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_d), lambda b, j, l: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, block_d), lambda b, j, l: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, lpad, d), jnp.float32),   # du
+            jax.ShapeDtypeStruct((bsz, lpad, d), jnp.float32),   # ddelta_raw
+            jax.ShapeDtypeStruct((bsz, lpad, d), jnp.float32),   # dz
+            jax.ShapeDtypeStruct((bsz, d // block_d, n, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, d // block_d, n, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, n, d), jnp.float32),      # dA partials
+            jax.ShapeDtypeStruct((bsz, 1, d), jnp.float32),      # dD partials
+            jax.ShapeDtypeStruct((bsz, 1, d), jnp.float32),      # dbias parts
+            jax.ShapeDtypeStruct((bsz, n, d), jnp.float32),      # dh0
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, block_d), jnp.float32),            # s
+            pltpu.VMEM((n, block_d), jnp.float32),            # dA acc
+            pltpu.VMEM((1, block_d), jnp.float32),            # dD acc
+            pltpu.VMEM((1, block_d), jnp.float32),            # dbias acc
+            pltpu.VMEM((block_l, n, block_d), jnp.float32),   # hbuf
+            pltpu.VMEM((block_l, block_d), jnp.float32),      # delta
+            pltpu.VMEM((block_l, block_d), jnp.float32),      # delta*u
+            pltpu.VMEM((block_l, block_d), jnp.float32),      # g2
+            pltpu.VMEM((block_l, block_d), jnp.float32),      # y_pre
+            pltpu.VMEM((block_l, block_d), jnp.float32),      # ddelta
+            pltpu.VMEM((block_l, block_d), jnp.float32),      # du rows
+            pltpu.VMEM((n, block_l), jnp.float32),            # dB acc
+            pltpu.VMEM((n, block_l), jnp.float32),            # dC acc
+        ],
+        interpret=interpret,
+    )(u, delta, z, bt, ct, g_out, a_t, dskip, dbias, hckpt, ghl)
+
+    (du_p, dd_p, dz_p, db_p, dc_p, da_p, ddsk_p, dbs_p, dh0_p) = outs
+
+    du = du_p[:, :seqlen].astype(u.dtype)
+    ddelta = dd_p[:, :seqlen].astype(delta.dtype)
+    dB = jnp.sum(db_p, axis=1).swapaxes(1, 2)[:, :seqlen].astype(B.dtype)
+    dC = jnp.sum(dc_p, axis=1).swapaxes(1, 2)[:, :seqlen].astype(C.dtype)
+    dA = jnp.sum(da_p, axis=0).T.astype(A.dtype)      # (N,D)->(D,N)
+    dD = jnp.sum(ddsk_p, axis=(0, 1)).astype(D.dtype) if D is not None else None
+    dz = dz_p[:, :seqlen].astype(z.dtype) if had_z else None
+    dbias_g = (
+        jnp.sum(dbs_p, axis=(0, 1)).astype(delta_bias.dtype)
+        if delta_bias is not None
+        else None
+    )
+    dh0 = dh0_p.swapaxes(1, 2)  # (B, D, N) f32
+    return (du, ddelta, dA, dB, dC, dD, dz, dbias_g, dh0)

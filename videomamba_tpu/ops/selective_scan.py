@@ -370,7 +370,8 @@ def _fused_scan_bwd_impl(residuals, cotangents, softplus,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
 def _pallas_fused_scan(u, delta, A, B, C, D, z, delta_bias, h0, softplus):
-    """Pallas forward / hand-derived chunked-XLA backward."""
+    """Pallas forward; backward is the Pallas gradient kernel (with the
+    hand-derived chunked-XLA backward as the exact fallback)."""
     from videomamba_tpu.ops.pallas.scan import scan_chunked_pallas
 
     return scan_chunked_pallas(
@@ -380,12 +381,27 @@ def _pallas_fused_scan(u, delta, A, B, C, D, z, delta_bias, h0, softplus):
 
 
 def _pallas_fused_scan_fwd(u, delta, A, B, C, D, z, delta_bias, h0, softplus):
-    out = _pallas_fused_scan(u, delta, A, B, C, D, z, delta_bias, h0, softplus)
-    return out, (u, delta, A, B, C, D, z, delta_bias, h0)
+    from videomamba_tpu.ops.pallas.scan import scan_chunked_pallas
+
+    out, h_last, hckpt = scan_chunked_pallas(
+        u, delta, A, B, C, D, z, delta_bias, h0,
+        softplus=softplus, has_z=z is not None, checkpoints=True,
+    )
+    return (out, h_last), (u, delta, A, B, C, D, z, delta_bias, h0, hckpt)
 
 
 def _pallas_fused_scan_bwd(softplus, residuals, cotangents):
-    return _fused_scan_bwd_impl(residuals, cotangents, softplus)
+    *primals, hckpt = residuals
+    u, delta, A, B, C, D, z, delta_bias, h0 = primals
+    g_out, g_hlast = cotangents
+    from videomamba_tpu.ops.pallas.scan import scan_bwd_pallas
+
+    grads = scan_bwd_pallas(
+        u, delta, A, B, C, D, z, delta_bias, hckpt, g_out, g_hlast,
+        softplus=softplus, has_z=z is not None,
+    )
+    du, ddelta, dA, dB, dC, dD, dz, dbias, dh0 = grads
+    return (du, ddelta, dA, dB, dC, dD, dz, dbias, dh0.astype(h0.dtype))
 
 
 _pallas_fused_scan.defvjp(_pallas_fused_scan_fwd, _pallas_fused_scan_bwd)
