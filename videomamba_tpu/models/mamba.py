@@ -54,6 +54,124 @@ def _fused_disabled_by_env() -> bool:
     return os.getenv(_FUSED_KILL_SWITCH, "").lower() in {"1", "true", "yes", "y", "on"}
 
 
+def _conv_window(x: Array, conv_state: Optional[Array], width: int) -> Array:
+    """Updated (B, D, W) raw-input window = last W inputs of [state || x]."""
+    if conv_state is not None:
+        full = jnp.concatenate(
+            [conv_state.swapaxes(1, 2).astype(x.dtype), x], axis=1
+        )
+    else:
+        full = jnp.pad(x, ((0, 0), (width, 0), (0, 0)))
+    return full[:, -width:].swapaxes(1, 2)
+
+
+@jax.custom_vjp
+def _fused_mixer(x_in, z_in, conv_w, conv_b, wx, wdt, dt_bias, A, D, h0,
+                 conv_state):
+    """Fused conv+proj+scan+gate core (Pallas); see ops/pallas/mixer_fused.
+
+    Returns (y (B, L, d_inner), h_last (B, d_inner, N)). Gradient rule:
+    recompute the cheap XLA pieces, reuse the Pallas scan backward.
+    """
+    from videomamba_tpu.ops.pallas.mixer_fused import (
+        mixer_fused_pallas,
+        pack_weights,
+    )
+
+    r, n = wdt.shape[0], A.shape[1]
+    wx_pack, wdt_pack = pack_weights(wx, wdt, r, n)
+    return mixer_fused_pallas(
+        x_in, z_in, conv_w, conv_b, wx_pack, wdt_pack, A, D, dt_bias, h0,
+        conv_state, highest=(wx.dtype == jnp.float32),
+    )
+
+
+def _fused_mixer_fwd(x_in, z_in, conv_w, conv_b, wx, wdt, dt_bias, A, D, h0,
+                     conv_state):
+    from videomamba_tpu.ops.pallas.mixer_fused import (
+        DEFAULT_BLOCK_L,
+        mixer_fused_pallas,
+        pack_weights,
+    )
+
+    r, n = wdt.shape[0], A.shape[1]
+    wx_pack, wdt_pack = pack_weights(wx, wdt, r, n)
+    y, h_last, hckpt = mixer_fused_pallas(
+        x_in, z_in, conv_w, conv_b, wx_pack, wdt_pack, A, D, dt_bias, h0,
+        conv_state, highest=(wx.dtype == jnp.float32), checkpoints=True,
+    )
+    res = (x_in, z_in, conv_w, conv_b, wx, wdt, dt_bias, A, D, h0,
+           conv_state, hckpt)
+    return (y, h_last), res
+
+
+def _fused_mixer_bwd(res, cts):
+    (x_in, z_in, conv_w, conv_b, wx, wdt, dt_bias, A, D, h0,
+     conv_state, hckpt) = res
+    g_y, g_hlast = cts
+    from videomamba_tpu.ops.pallas.mixer_fused import DEFAULT_BLOCK_L
+    from videomamba_tpu.ops.pallas.scan import scan_bwd_pallas
+
+    r, n = wdt.shape[0], A.shape[1]
+
+    # Recompute the pre-scan intermediates (cheap: one conv + two small mms).
+    def conv_fn(x_, w_, b_, st_):
+        return causal_conv1d(
+            x_, w_, b_, activation="silu", initial_state=st_
+        )
+
+    conv_out, conv_vjp = jax.vjp(conv_fn, x_in, conv_w, conv_b, conv_state)
+    mm_in = conv_out.astype(wx.dtype)
+    xdbl = (mm_in @ wx).astype(jnp.float32)
+    delta_raw = (xdbl[..., :r].astype(wdt.dtype) @ wdt).astype(jnp.float32)
+    B_ssm = xdbl[..., r:r + n]
+    C_ssm = xdbl[..., r + n:]
+
+    grads = scan_bwd_pallas(
+        conv_out, delta_raw, A, B_ssm, C_ssm, D, z_in, dt_bias, hckpt,
+        g_y, g_hlast, softplus=True, has_z=True, block_l=DEFAULT_BLOCK_L,
+    )
+    du_scan, ddelta_raw, dA, dB, dC, dD, dz, ddtbias, dh0 = grads
+
+    ddelta_raw = ddelta_raw.astype(jnp.float32)
+    dxdbl = jnp.concatenate(
+        [jnp.einsum("bld,rd->blr", ddelta_raw, wdt.astype(jnp.float32)),
+         dB.astype(jnp.float32), dC.astype(jnp.float32)],
+        axis=-1,
+    )
+    dwdt = jnp.einsum(
+        "blr,bld->rd", xdbl[..., :r], ddelta_raw
+    ).astype(wdt.dtype)
+    dconv_from_proj = jnp.einsum(
+        "blk,dk->bld", dxdbl, wx.astype(jnp.float32)
+    )
+    dwx = jnp.einsum(
+        "bld,blk->dk", mm_in.astype(jnp.float32), dxdbl
+    ).astype(wx.dtype)
+
+    dconv_out = (du_scan.astype(jnp.float32) + dconv_from_proj).astype(
+        conv_out.dtype
+    )
+    dx_in, dconv_w, dconv_b, dconv_state = conv_vjp(dconv_out)
+
+    return (
+        dx_in.astype(x_in.dtype),
+        dz.astype(z_in.dtype),
+        dconv_w.astype(conv_w.dtype),
+        dconv_b.astype(conv_b.dtype),
+        dwx,
+        dwdt,
+        ddtbias.astype(dt_bias.dtype),
+        dA.astype(A.dtype),
+        dD.astype(D.dtype),
+        dh0.astype(h0.dtype),
+        dconv_state.astype(conv_state.dtype),
+    )
+
+
+_fused_mixer.defvjp(_fused_mixer_fwd, _fused_mixer_bwd)
+
+
 @dataclasses.dataclass
 class InferenceCache:
     """Decode-time cache — functional twin of the reference's
@@ -254,6 +372,42 @@ class Mamba:
             xz = xz + params["in_proj"]["bias"]
         x, z = jnp.split(xz, 2, axis=-1)
 
+        if self._use_fused_mixer(params):
+            # Fully-fused fast path: conv + x_proj + dt_proj + scan + gate in
+            # one Pallas kernel (the mamba_inner_fn equivalent) — with
+            # streaming state in and out, unlike the reference's fused path
+            # which is stateless-only (mamba_simple.py:343-367).
+            h0 = (
+                ssm_state
+                if ssm_state is not None
+                else jnp.zeros((bsz, self.d_inner, self.d_state), jnp.float32)
+            )
+            cstate_in = (
+                conv_state
+                if conv_state is not None
+                else jnp.zeros((bsz, self.d_inner, self.d_conv), x.dtype)
+            )
+            A = -jnp.exp(params["A_log"].astype(jnp.float32))
+            y, h_last = _fused_mixer(
+                x, z,
+                params["conv1d"]["weight"], params["conv1d"]["bias"],
+                params["x_proj"]["kernel"], params["dt_proj"]["kernel"],
+                params["dt_proj"]["bias"].astype(jnp.float32),
+                A, params["D"].astype(jnp.float32), h0, cstate_in,
+            )
+            out = y @ params["out_proj"]["kernel"]
+            if "bias" in params["out_proj"]:
+                out = out + params["out_proj"]["bias"]
+            if not need_state:
+                return out
+            new_conv_state = _conv_window(x, conv_state, self.d_conv)
+            if conv_state is not None:
+                new_conv_state = new_conv_state.astype(conv_state.dtype)
+            new_ssm_state = (
+                h_last.astype(ssm_state.dtype) if ssm_state is not None else h_last
+            )
+            return out, (new_conv_state, new_ssm_state)
+
         # Conv stays on the XLA path: measured on v5e, the shifted-multiply
         # composition fuses into one pass and beats the Pallas conv kernel at
         # B=1 (0.16ms vs 0.30ms, Base shapes) and ties it at B=4. The kernel
@@ -309,6 +463,16 @@ class Mamba:
         if need_state:
             return out, (new_conv_state, new_ssm_state)
         return out
+
+    def _use_fused_mixer(self, params: Params) -> bool:
+        """Take the fully-fused Pallas mixer when everything lines up."""
+        if not self.use_fast_path or self.scan_method != "pallas":
+            return False
+        if "bias" not in params["conv1d"]:
+            return False
+        from videomamba_tpu.ops.pallas.mixer_fused import mixer_fused_supported
+
+        return mixer_fused_supported(self.d_inner, self.dt_rank_, self.d_state)
 
     @property
     def scan_method(self) -> str:

@@ -1,0 +1,297 @@
+"""Fused Mamba-mixer forward kernel: conv + x_proj + dt_proj + scan + gate.
+
+The TPU answer to the reference's fully-fused ``mamba_inner_fn``
+(mamba_simple.py:343-367): everything between the in_proj and out_proj
+matmuls runs in ONE pallas_call —
+
+    conv_out = silu(causal_depthwise_conv(x))          [VPU, prev-block trick]
+    x_dbl    = conv_out @ Wx_packed                    [MXU]
+    delta    = x_dbl[:, dt_cols] @ Wdt_packed          [MXU]
+    y        = selective_scan(conv_out, delta, B, C)   [VPU, VMEM state]
+    out      = (y + D*conv_out) * silu(z)
+
+eliminating the HBM round trips of conv_out, dt, x_dbl and the B/C layout
+transposes. Weights are packed with 128-lane-aligned column groups
+(dt | B | C at offsets 0/128/256) so the in-kernel slices are static and
+aligned; zero padding makes the packing gradient-transparent.
+
+Requires the full d_inner in one block (the x_proj contraction crosses all
+channels), so VMEM limits block_l; supported when d_inner % 128 == 0,
+dt_rank <= 128, d_state <= 128.
+
+Backward (custom_vjp in models/mamba.py): recompute conv_out/x_dbl with
+cheap XLA ops, reuse scan_bwd_pallas for the recurrence gradients, and close
+the matmul/conv chains in XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+DEFAULT_BLOCK_L = 128
+PACK = 128  # lane-aligned column group width
+
+
+def mixer_fused_supported(d_inner: int, dt_rank: int, d_state: int) -> bool:
+    return (
+        d_inner % 128 == 0
+        and 0 < dt_rank <= PACK
+        and 0 < d_state <= PACK
+        and d_state % 8 == 0
+    )
+
+
+def pack_weights(wx: Array, wdt: Array, dt_rank: int, d_state: int):
+    """(Di, R+2N) x_proj and (R, Di) dt_proj -> lane-aligned packs.
+
+    wx_pack (Di, 3*PACK): cols [0:R]=dt, [PACK:PACK+N]=B, [2P:2P+N]=C.
+    wdt_pack (PACK, Di): rows [0:R] real, rest zero.
+    """
+    d_inner = wx.shape[0]
+    r, n = dt_rank, d_state
+    wx_pack = jnp.zeros((d_inner, 3 * PACK), wx.dtype)
+    wx_pack = wx_pack.at[:, :r].set(wx[:, :r])
+    wx_pack = wx_pack.at[:, PACK:PACK + n].set(wx[:, r:r + n])
+    wx_pack = wx_pack.at[:, 2 * PACK:2 * PACK + n].set(wx[:, r + n:])
+    wdt_pack = jnp.zeros((PACK, wdt.shape[1]), wdt.dtype)
+    wdt_pack = wdt_pack.at[:r].set(wdt)
+    return wx_pack, wdt_pack
+
+
+def _mixer_kernel(
+    x_ref,        # (1, c, Di) conv input (in_proj x-half)
+    xprev_ref,    # (1, c, Di) previous time block of the same array
+    z_ref,        # (1, c, Di)
+    cstate_ref,   # (1, W, Di) streaming conv window (raw inputs)
+    convw_ref,    # (W, Di)
+    convb_ref,    # (1, Di)
+    wx_ref,       # (Di, 3*PACK)
+    wdt_ref,      # (PACK, Di)
+    at_ref,       # (N, Di) f32
+    dskip_ref,    # (1, Di) f32
+    dtbias_ref,   # (1, Di) f32
+    h0_ref,       # (1, N, Di) f32
+    y_ref,        # out (1, c, Di)
+    hlast_ref,    # out (1, N, Di) f32
+    *rest,
+    block_l: int,
+    width: int,
+    n_state: int,
+    seqlen: int,
+    highest: bool,
+    checkpoints: bool,
+):
+    if checkpoints:
+        (hckpt_ref, h_scratch, conv_scr, delta_scr, du_scr, yacc_scr) = rest
+    else:
+        (h_scratch, conv_scr, delta_scr, du_scr, yacc_scr) = rest
+        hckpt_ref = None
+    l_idx = pl.program_id(2)
+    n = n_state
+
+    @pl.when(l_idx == 0)
+    def _():
+        h_scratch[:] = h0_ref[0]
+
+    if checkpoints:
+        hckpt_ref[0, 0] = h_scratch[:]
+
+    # ---- causal depthwise conv + SiLU (prev-block left context).
+    x = x_ref[0].astype(jnp.float32)                       # (c, Di)
+    prev_tail = xprev_ref[0][block_l - (width - 1):, :].astype(jnp.float32)
+    state_tail = cstate_ref[0][1:, :].astype(jnp.float32)  # (W-1, Di)
+    left = jnp.where(l_idx == 0, state_tail, prev_tail)
+    ctx = jnp.concatenate([left, x], axis=0)
+    w = convw_ref[:].astype(jnp.float32)
+    cy = w[width - 1][None, :] * x
+    for k in range(width - 1):
+        cy = cy + w[k][None, :] * ctx[k:k + block_l]
+    cy = cy + convb_ref[0][None, :]
+    cy = cy * jax.nn.sigmoid(cy)                           # conv_out f32
+    conv_scr[:] = cy
+
+    # ---- projections on the MXU.
+    precision = jax.lax.Precision.HIGHEST if highest else None
+    mm_in = cy if highest else cy.astype(wx_ref.dtype)
+    xdbl = jax.lax.dot(mm_in, wx_ref[:].astype(mm_in.dtype),
+                       precision=precision,
+                       preferred_element_type=jnp.float32)  # (c, 3*PACK)
+    dt_in = xdbl[:, :PACK]
+    dt_mm = dt_in if highest else dt_in.astype(wdt_ref.dtype)
+    delta_raw = jax.lax.dot(dt_mm, wdt_ref[:].astype(dt_mm.dtype),
+                            precision=precision,
+                            preferred_element_type=jnp.float32)  # (c, Di)
+
+    delta = jax.nn.softplus(delta_raw + dtbias_ref[0][None, :])
+    # Mask padded rows: delta=0 -> a=1, du=0 (state pass-through).
+    row_ids = lax.broadcasted_iota(jnp.int32, (block_l, 1), 0)
+    valid = (l_idx * block_l + row_ids) < seqlen
+    delta = jnp.where(valid, delta, 0.0)
+    delta_scr[:] = delta
+    du_scr[:] = delta * cy
+
+    b_blk = xdbl[:, PACK:PACK + n].T                       # (N, c)
+    c_blk = xdbl[:, 2 * PACK:2 * PACK + n].T               # (N, c)
+    a_t = at_ref[:]
+    time_ids = lax.broadcasted_iota(jnp.int32, (1, block_l), 1)
+
+    group = 8
+
+    def body(g, h):
+        base = pl.multiple_of(g * group, group)
+        d_rows = delta_scr[pl.ds(base, group), :]
+        du_rows = du_scr[pl.ds(base, group), :]
+        dA8 = jnp.exp(d_rows[:, None, :] * a_t[None, :, :])
+        ys = []
+        for k in range(group):
+            onehot = (time_ids == base + k).astype(jnp.float32)
+            b_t = jnp.sum(b_blk * onehot, axis=1, keepdims=True)
+            c_t = jnp.sum(c_blk * onehot, axis=1, keepdims=True)
+            h = dA8[k] * h + du_rows[k:k + 1, :] * b_t
+            ys.append(jnp.sum(c_t * h, axis=0, keepdims=True))
+        yacc_scr[pl.ds(base, group), :] = jnp.concatenate(ys, axis=0)
+        return h
+
+    h_final = lax.fori_loop(0, block_l // group, body, h_scratch[:])
+    h_scratch[:] = h_final
+    hlast_ref[0] = h_final
+
+    y = yacc_scr[:] + cy * dskip_ref[0][None, :]
+    zf = z_ref[0].astype(jnp.float32)
+    y = y * (zf * jax.nn.sigmoid(zf))
+    y_ref[0] = y.astype(y_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_l", "interpret", "checkpoints", "highest"),
+)
+def mixer_fused_pallas(
+    x_in: Array,       # (B, L, Di) in_proj x-half (raw conv input)
+    z_in: Array,       # (B, L, Di) in_proj z-half (gate)
+    conv_w: Array,     # (W, Di)
+    conv_b: Array,     # (Di,)
+    wx_pack: Array,    # (Di, 3*PACK)
+    wdt_pack: Array,   # (PACK, Di)
+    A: Array,          # (Di, N) f32
+    D: Array,          # (Di,) f32
+    dt_bias: Array,    # (Di,) f32
+    h0: Array,         # (B, Di, N) f32
+    conv_state: Array, # (B, Di, W) raw-input window
+    block_l: int = DEFAULT_BLOCK_L,
+    interpret: bool = False,
+    checkpoints: bool = False,
+    highest: bool = False,
+):
+    """Fused mixer core. Returns (y (B, L, Di), h_last (B, Di, N)[, hckpt]).
+
+    ``highest=True`` computes the projections with fp32 MXU passes (use for
+    fp32 weights); otherwise inputs are cast to the weights' dtype (exact for
+    bf16 serving).
+    """
+    from videomamba_tpu.ops.dispatch import interpret_mode
+
+    if interpret_mode():
+        interpret = True
+    bsz, seqlen, d_inner = x_in.shape
+    n = A.shape[1]
+    width = conv_w.shape[0]
+
+    block_l = min(block_l, max(8, seqlen))
+    block_l = ((block_l + 7) // 8) * 8
+    if block_l <= width:
+        raise ValueError("block_l must exceed the conv width.")
+    pad = (-seqlen) % block_l
+    lpad = seqlen + pad
+    if pad:
+        x_in = jnp.pad(x_in, ((0, 0), (0, pad), (0, 0)))
+        z_in = jnp.pad(z_in, ((0, 0), (0, pad), (0, 0)))
+    num_blocks = lpad // block_l
+
+    a_t = A.T.astype(jnp.float32)
+    dskip = D.astype(jnp.float32)[None, :]
+    dtb = dt_bias.astype(jnp.float32)[None, :]
+    h0_nd = h0.astype(jnp.float32).swapaxes(1, 2)
+    cstate_wd = conv_state.swapaxes(1, 2)
+    convb = conv_b.astype(jnp.float32)[None, :]
+
+    grid = (bsz, 1, num_blocks)
+    kernel = functools.partial(
+        _mixer_kernel, block_l=block_l, width=width, n_state=n,
+        seqlen=seqlen, highest=highest, checkpoints=checkpoints,
+    )
+
+    full = lambda b, j, l: (b, l, 0)  # noqa: E731
+    prev = lambda b, j, l: (b, jnp.maximum(l - 1, 0), 0)  # noqa: E731
+    fixed = lambda b, j, l: (0, 0)  # noqa: E731
+
+    out_specs = [
+        pl.BlockSpec((1, block_l, d_inner), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n, d_inner), lambda b, j, l: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bsz, lpad, d_inner), x_in.dtype),
+        jax.ShapeDtypeStruct((bsz, n, d_inner), jnp.float32),
+    ]
+    scratch = [
+        pltpu.VMEM((n, d_inner), jnp.float32),
+        pltpu.VMEM((block_l, d_inner), jnp.float32),  # conv_out
+        pltpu.VMEM((block_l, d_inner), jnp.float32),  # delta
+        pltpu.VMEM((block_l, d_inner), jnp.float32),  # delta*u
+        pltpu.VMEM((block_l, d_inner), jnp.float32),  # yacc
+    ]
+    if checkpoints:
+        out_specs.append(
+            pl.BlockSpec((1, 1, n, d_inner), lambda b, j, l: (b, l, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((bsz, num_blocks, n, d_inner), jnp.float32)
+        )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_l, d_inner), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_l, d_inner), prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_l, d_inner), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width, d_inner), lambda b, j, l: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((width, d_inner), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_inner), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_inner, 3 * PACK), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((PACK, d_inner), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, d_inner), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_inner), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_inner), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d_inner), lambda b, j, l: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(x_in, x_in, z_in, cstate_wd, conv_w, convb, wx_pack, wdt_pack,
+      a_t, dskip, dtb, h0_nd)
+
+    if checkpoints:
+        y, h_last, hckpt = outs
+    else:
+        y, h_last = outs
+    if pad:
+        y = y[:, :seqlen]
+    h_last = h_last.swapaxes(1, 2)
+    if checkpoints:
+        return y, h_last, hckpt
+    return y, h_last
