@@ -76,6 +76,98 @@ class StreamingSession:
         jax.tree_util.tree_map(lambda s: s.block_until_ready(), self.state)
 
 
+class DecodeSession:
+    """Token-level decode: ONE compiled step for the whole layer stack.
+
+    The reference decodes token-by-token through a Python loop over layers
+    with an in-place cache (mamba_simple.py:316-330,453-497). Here the
+    per-layer parameters and states are stacked on a leading depth axis and
+    a single jit-compiled ``lax.scan`` over layers advances all of them —
+    one program, no per-layer dispatch, state donated between steps.
+
+    Works on token embeddings (B, d_model): embed video patches upstream
+    (e.g. via a streaming prefill) and feed tokens one at a time.
+    """
+
+    def __init__(self, model, batch_size: int, dtype: Optional[jnp.dtype] = None):
+        if model.drop_path_rate > 0:
+            pass  # decode is deterministic; rates are irrelevant here
+        self.model = model
+        self.batch_size = batch_size
+        block = model.layers[0]
+        self.mixer = block.mixer
+        self.norm_type = block.norm_type
+        self.eps = block.norm_epsilon
+        self.residual_in_fp32 = block.residual_in_fp32
+
+        self.stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *model.params["layers"]
+        )
+        conv, ssm = model.layers[0].mixer.allocate_state(batch_size, dtype=dtype)
+        depth = model.depth
+        self.conv_states = jnp.broadcast_to(conv, (depth,) + conv.shape)
+        self.ssm_states = jnp.broadcast_to(ssm, (depth,) + ssm.shape)
+        self._step = self._build_step()
+
+    def _build_step(self):
+        mixer = self.mixer
+        model = self.model
+        norm_type = self.norm_type
+        eps = self.eps
+        rif32 = self.residual_in_fp32
+
+        from videomamba_tpu.ops.norm import fused_add_norm
+
+        def step(params, stacked, conv_states, ssm_states, token):
+            # token: (B, d_model) current-token embedding (pos already added)
+            def layer_step(carry, xs):
+                hidden, residual = carry
+                lp, cs, ss = xs
+                normed, residual = fused_add_norm(
+                    hidden, lp["norm"]["weight"], lp["norm"].get("bias"),
+                    residual=residual, prenorm=True,
+                    residual_in_fp32=rif32, eps=eps, norm_type=norm_type,
+                )
+                out, cs, ss = mixer.step(lp["mixer"], normed, cs, ss)
+                return (out, residual), (cs, ss)
+
+            hidden = token[:, None, :]
+            # A zero initial residual is identical to the reference's None
+            # (residual_out = hidden) and keeps the scan carry structure
+            # fixed; dtype follows the residual_in_fp32 policy.
+            res0 = jnp.zeros_like(
+                hidden, dtype=jnp.float32 if rif32 else hidden.dtype
+            )
+            (hidden, residual), (new_conv, new_ssm) = jax.lax.scan(
+                layer_step, (hidden, res0), (stacked, conv_states, ssm_states)
+            )
+            feat = fused_add_norm(
+                hidden, params["norm"]["weight"], params["norm"].get("bias"),
+                residual=residual, prenorm=False,
+                residual_in_fp32=rif32, eps=eps, norm_type=norm_type,
+            )
+            return feat[:, 0], new_conv, new_ssm
+
+        return jax.jit(step, donate_argnums=(2, 3))
+
+    def step(self, token: Array) -> Array:
+        """Advance one token; returns (B, d_model) final-norm features."""
+        feat, self.conv_states, self.ssm_states = self._step(
+            self.model.params, self.stacked, self.conv_states,
+            self.ssm_states, token,
+        )
+        return feat
+
+    def load_streaming_state(self, state) -> None:
+        """Adopt a streaming-contract state (e.g. after a chunked prefill)."""
+        convs = jnp.stack([jnp.asarray(s[0]) for s in
+                           (state.values() if isinstance(state, dict) else state)])
+        ssms = jnp.stack([jnp.asarray(s[1]) for s in
+                          (state.values() if isinstance(state, dict) else state)])
+        self.conv_states = convs.astype(self.conv_states.dtype)
+        self.ssm_states = ssms.astype(self.ssm_states.dtype)
+
+
 def time_fn(fn, *args, warmup: int = 2, iters: int = 10) -> Tuple[float, List[float]]:
     """(median_seconds, all_times) for fn(*args) with device sync per call."""
     for _ in range(warmup):
