@@ -32,7 +32,7 @@ from videomamba_tpu.models.videomamba import (
     PretrainVideoMamba,
     build_videomamba,
 )
-from videomamba_tpu.runtime import StreamingSession
+from videomamba_tpu.runtime import DecodeSession, StreamingSession
 from videomamba_tpu.streaming import (
     STREAMING_CONTRACT_VERSION,
     ForwardReturnSemantics,
@@ -51,6 +51,7 @@ __version__ = "0.1.0"
 __all__ = [
     "BiMambaRefinerBlock",
     "Block",
+    "DecodeSession",
     "DeterminismConfig",
     "ForwardReturnSemantics",
     "InferenceCache",

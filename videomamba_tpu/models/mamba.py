@@ -127,9 +127,19 @@ def _fused_mixer_bwd(res, cts):
     B_ssm = xdbl[..., r:r + n]
     C_ssm = xdbl[..., r + n:]
 
+    # The bwd kernel's per-position dB/dC output blocks need a 128-divisible
+    # time block; when the fused forward used a smaller block, stride the
+    # checkpoints up to the least 128-multiple (entries line up exactly).
+    fwd_bl = DEFAULT_BLOCK_L
+    bwd_bl = fwd_bl
+    while bwd_bl % 128 != 0:
+        bwd_bl += fwd_bl
+    stride = bwd_bl // fwd_bl
+    hckpt_b = hckpt[:, ::stride] if stride > 1 else hckpt
+
     grads = scan_bwd_pallas(
-        conv_out, delta_raw, A, B_ssm, C_ssm, D, z_in, dt_bias, hckpt,
-        g_y, g_hlast, softplus=True, has_z=True, block_l=DEFAULT_BLOCK_L,
+        conv_out, delta_raw, A, B_ssm, C_ssm, D, z_in, dt_bias, hckpt_b,
+        g_y, g_hlast, softplus=True, has_z=True, block_l=bwd_bl,
     )
     du_scan, ddelta_raw, dA, dB, dC, dD, dz, ddtbias, dh0 = grads
 

@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-DEFAULT_BLOCK_L = 128
+DEFAULT_BLOCK_L = 64  # swept on v5e: 64 beats 128/256 at Base shapes
 PACK = 128  # lane-aligned column group width
 
 
