@@ -145,7 +145,12 @@ def main():
     parser.add_argument("--skip-parity", action="store_true")
     args = parser.parse_args()
 
-    from videomamba_tpu.models.presets import videomamba_base, videomamba_tiny
+    from videomamba_tpu.models.presets import (
+        videomamba_base,
+        videomamba_middle,
+        videomamba_small,
+        videomamba_tiny,
+    )
 
     details = {}
     details.update(
@@ -160,6 +165,13 @@ def main():
     )
     details.update(
         bench_full_clip(videomamba_base, "base_clip8", 8, 8, "bf16", args.quick)
+    )
+    # Driver config list also names Small/Middle 16-frame clips.
+    details.update(
+        bench_full_clip(videomamba_small, "small_clip16", 16, 4, "bf16", args.quick)
+    )
+    details.update(
+        bench_full_clip(videomamba_middle, "middle_clip16", 16, 4, "bf16", args.quick)
     )
     if not args.skip_parity:
         details.update(bench_parity())

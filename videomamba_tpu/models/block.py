@@ -16,17 +16,114 @@ around :meth:`Block.__call__` — see PretrainVideoMamba ``checkpoint_num``.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 
 from videomamba_tpu.models.mamba import Mamba
-from videomamba_tpu.ops.norm import fused_add_norm
+from videomamba_tpu.ops.norm import fused_add_norm, layer_norm, rms_norm
 
 Array = jax.Array
 Params = Dict[str, Any]
 LayerState = Tuple[Array, Array]
+
+
+def _block_recompute(hidden, residual, norm_w, norm_b, win, wout, conv_w,
+                     conv_b, wx, wdt, dt_bias, A, D, h0, conv_state,
+                     norm_rms, eps, residual_fp32):
+    """XLA recomputation of the block-fused kernel, numerics-matched.
+
+    Calls the custom-vjp'd Pallas scan for the recurrence, so differentiating
+    THIS function (the block-fused backward rule) uses the Pallas gradient
+    kernel for the scan and plain XLA transposes for everything else.
+    """
+    from videomamba_tpu.ops.causal_conv1d import causal_conv1d
+    from videomamba_tpu.ops.selective_scan import _pallas_fused_scan
+
+    res_out = hidden.astype(jnp.float32) + residual.astype(jnp.float32)
+    if norm_rms:
+        normed = rms_norm(res_out, norm_w, eps=eps)
+    else:
+        normed = layer_norm(res_out, norm_w, norm_b, eps=eps)
+    highest = win.dtype == jnp.float32
+    mm0 = normed if highest else normed.astype(win.dtype)
+    xz = jnp.dot(mm0, win.astype(mm0.dtype),
+                 precision=jax.lax.Precision.HIGHEST if highest else None,
+                 preferred_element_type=jnp.float32)
+    d_inner = win.shape[1] // 2
+    x = xz[:, :, :d_inner]
+    z = xz[:, :, d_inner:]
+    conv_out = causal_conv1d(
+        x, conv_w, conv_b, activation="silu", initial_state=conv_state
+    )
+    r, n = wdt.shape[0], A.shape[1]
+    mm1 = conv_out if highest else conv_out.astype(wx.dtype)
+    xdbl = jnp.dot(mm1, wx.astype(mm1.dtype),
+                   precision=jax.lax.Precision.HIGHEST if highest else None,
+                   preferred_element_type=jnp.float32)
+    dt_mm = xdbl[..., :r] if highest else xdbl[..., :r].astype(wdt.dtype)
+    delta_raw = jnp.dot(dt_mm, wdt.astype(dt_mm.dtype),
+                        precision=jax.lax.Precision.HIGHEST if highest else None,
+                        preferred_element_type=jnp.float32)
+    y_scan, h_last = _pallas_fused_scan(
+        conv_out, delta_raw, A, xdbl[..., r:r + n], xdbl[..., r + n:],
+        D, z, dt_bias, h0, True,
+    )
+    mm2 = y_scan if highest else y_scan.astype(wout.dtype)
+    out = jnp.dot(mm2, wout.astype(mm2.dtype),
+                  precision=jax.lax.Precision.HIGHEST if highest else None,
+                  preferred_element_type=jnp.float32)
+    res_dtype = jnp.float32 if residual_fp32 else hidden.dtype
+    return (out.astype(hidden.dtype), res_out.astype(res_dtype), h_last)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17))
+def _block_fused(hidden, residual, norm_w, norm_b, win, wout, conv_w, conv_b,
+                 wx, wdt, dt_bias, A, D, h0, conv_state,
+                 norm_rms, eps, residual_fp32):
+    """Whole-block fused forward (Pallas); see ops/pallas/block_fused."""
+    from videomamba_tpu.ops.pallas.block_fused import block_fused_pallas
+    from videomamba_tpu.ops.pallas.mixer_fused import pack_weights
+
+    r, n = wdt.shape[0], A.shape[1]
+    wx_pack, wdt_pack = pack_weights(wx, wdt, r, n)
+    return block_fused_pallas(
+        hidden, residual, norm_w, norm_b, win, wout, conv_w, conv_b,
+        wx_pack, wdt_pack, A, D, dt_bias, h0, conv_state,
+        norm_rms=norm_rms, eps=eps, residual_fp32=residual_fp32,
+        highest=(win.dtype == jnp.float32),
+    )
+
+
+def _block_fused_fwd(hidden, residual, norm_w, norm_b, win, wout, conv_w,
+                     conv_b, wx, wdt, dt_bias, A, D, h0, conv_state,
+                     norm_rms, eps, residual_fp32):
+    out = _block_fused(hidden, residual, norm_w, norm_b, win, wout, conv_w,
+                       conv_b, wx, wdt, dt_bias, A, D, h0, conv_state,
+                       norm_rms, eps, residual_fp32)
+    res = (hidden, residual, norm_w, norm_b, win, wout, conv_w, conv_b,
+           wx, wdt, dt_bias, A, D, h0, conv_state)
+    return out, res
+
+
+def _block_fused_bwd(norm_rms, eps, residual_fp32, res, cts):
+    args = res
+    present = [a is not None for a in args]
+    packed = tuple(a for a in args if a is not None)
+
+    def f(*p):
+        it = iter(p)
+        full = [next(it) if flag else None for flag in present]
+        return _block_recompute(*full, norm_rms, eps, residual_fp32)
+
+    _, vjp = jax.vjp(f, *packed)
+    grads = iter(vjp(cts))
+    return tuple(next(grads) if flag else None for flag in present)
+
+
+_block_fused.defvjp(_block_fused_fwd, _block_fused_bwd)
 
 
 def drop_path(key: Optional[Array], x: Array, rate: float, deterministic: bool) -> Array:
@@ -82,6 +179,12 @@ class Block:
         if state is not None and ssm_state is not None:
             raise ValueError("Pass either state or ssm_state, not both.")
 
+        if inference_params is None and self._use_block_fused(params):
+            return self._call_block_fused(
+                params, hidden_states, residual, state, return_state,
+                ssm_state, drop_path_key, deterministic,
+            )
+
         dropped = (
             drop_path(drop_path_key, hidden_states, self.drop_path_rate, deterministic)
             if residual is not None
@@ -113,6 +216,112 @@ class Block:
             inference_params=inference_params,
         )
         return hidden, new_residual
+
+    def _use_block_fused(self, params: Params) -> bool:
+        """Whole-block fusion gate: fused norms + fast-path mixer + no
+        in/out-proj biases (the reference default) + VMEM-sized weights."""
+        if not (self.fused_add_norm and self.mixer.use_fast_path):
+            return False
+        if self.mixer.scan_method != "pallas":
+            return False
+        mx = params["mixer"]
+        if (
+            "bias" in mx["in_proj"]
+            or "bias" in mx["out_proj"]
+            or "bias" not in mx["conv1d"]
+        ):
+            return False
+        from videomamba_tpu.ops.pallas.block_fused import block_fused_supported
+
+        wbytes = 4 if mx["in_proj"]["kernel"].dtype == jnp.float32 else 2
+        return block_fused_supported(
+            self.dim, self.mixer.d_inner, self.mixer.dt_rank_,
+            self.mixer.d_state, weight_bytes_per_el=wbytes,
+        )
+
+    def _call_block_fused(
+        self, params, hidden_states, residual, state, return_state,
+        ssm_state, drop_path_key, deterministic,
+    ):
+        mx = params["mixer"]
+        bsz = hidden_states.shape[0]
+        mixer = self.mixer
+
+        conv_state = None
+        if state is not None:
+            conv_state, ssm_state = state
+        h0 = (
+            ssm_state
+            if ssm_state is not None
+            else jnp.zeros((bsz, mixer.d_inner, mixer.d_state), jnp.float32)
+        )
+        cstate_in = (
+            conv_state
+            if conv_state is not None
+            else jnp.zeros(
+                (bsz, mixer.d_inner, mixer.d_conv), hidden_states.dtype
+            )
+        )
+        dropped = (
+            drop_path(drop_path_key, hidden_states, self.drop_path_rate,
+                      deterministic)
+            if residual is not None
+            else hidden_states
+        )
+        res_in = (
+            residual
+            if residual is not None
+            else jnp.zeros_like(hidden_states, dtype=jnp.float32)
+        )
+        A = -jnp.exp(mx["A_log"].astype(jnp.float32))
+        out, res_out, h_last = _block_fused(
+            dropped, res_in,
+            params["norm"]["weight"], params["norm"].get("bias"),
+            mx["in_proj"]["kernel"], mx["out_proj"]["kernel"],
+            mx["conv1d"]["weight"], mx["conv1d"]["bias"],
+            mx["x_proj"]["kernel"], mx["dt_proj"]["kernel"],
+            mx["dt_proj"]["bias"].astype(jnp.float32),
+            A, mx["D"].astype(jnp.float32), h0, cstate_in,
+            self.norm_type == "rms", self.norm_epsilon,
+            self.residual_in_fp32,
+        )
+        if state is None or not return_state:
+            if state is not None:
+                return out, res_out
+            return out, res_out
+        # New conv window: recompute the conv-input x for the last W
+        # positions only (one tiny norm + matmul; the kernel never
+        # materializes x in HBM).
+        new_conv = self._tail_conv_window(params, res_out, conv_state)
+        if conv_state is not None:
+            new_conv = new_conv.astype(conv_state.dtype)
+        new_ssm = (
+            h_last.astype(ssm_state.dtype) if ssm_state is not None else h_last
+        )
+        return out, res_out, (new_conv, new_ssm)
+
+    def _tail_conv_window(self, params, res_out, conv_state):
+        from videomamba_tpu.models.mamba import _conv_window
+
+        mx = params["mixer"]
+        w = self.mixer.d_conv
+        tail = res_out[:, -w:].astype(jnp.float32)
+        if self.norm_type == "rms":
+            normed = rms_norm(tail, params["norm"]["weight"],
+                              eps=self.norm_epsilon)
+        else:
+            normed = layer_norm(tail, params["norm"]["weight"],
+                                params["norm"].get("bias"),
+                                eps=self.norm_epsilon)
+        win = mx["in_proj"]["kernel"]
+        highest = win.dtype == jnp.float32
+        mm = normed if highest else normed.astype(win.dtype)
+        x_tail = jnp.dot(
+            mm, win[:, :self.mixer.d_inner].astype(mm.dtype),
+            precision=jax.lax.Precision.HIGHEST if highest else None,
+            preferred_element_type=jnp.float32,
+        )
+        return _conv_window(x_tail, conv_state, w)
 
     def allocate_state(self, batch_size: int, dtype=None) -> LayerState:
         return self.mixer.allocate_state(batch_size, dtype=dtype)

@@ -1,0 +1,331 @@
+"""Whole-Block fused kernel: add-norm + in_proj + mixer + out_proj.
+
+One pallas_call per layer covering the ENTIRE prenorm block:
+
+    residual' = hidden + residual                     [f32]
+    normed    = rmsnorm/ln(residual')
+    xz        = normed @ Win;  x, z = split           [MXU, weights resident]
+    conv_out  = silu(causal_conv(x))                  [carried-context scratch]
+    x_dbl     = conv_out @ Wx_pack; delta = .. @ Wdt  [MXU]
+    y         = selective_scan(...) * silu(z) + D-skip
+    out       = y @ Wout                              [MXU]
+
+vs. the already-fused mixer this removes the xz / normed / mixer-out HBM
+round trips; all five weight matrices stay VMEM-resident across the time
+grid (fixed index maps). The causal-conv left context is carried across time
+blocks in scratch (the conv input x is computed in-kernel, so the
+previous-block-view trick cannot apply; a (W-1, Di) scratch is cheaper
+anyway).
+
+Gate: requires the weights + (c, E)/(c, 2Di) temporaries to fit VMEM —
+supported for all published VideoMamba sizes (Base is the largest at ~9 MB).
+Backward (models/block.py): XLA recompute of norm/projections chained with
+scan_bwd_pallas, like the fused mixer.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from videomamba_tpu.ops.pallas.mixer_fused import PACK, mixer_fused_supported
+
+Array = jax.Array
+
+DEFAULT_BLOCK_L = 128
+
+
+def block_fused_supported(d_model: int, d_inner: int, dt_rank: int,
+                          d_state: int, weight_bytes_per_el: int = 2) -> bool:
+    if not mixer_fused_supported(d_inner, dt_rank, d_state):
+        return False
+    # VMEM budget: resident weights + (c, Di) f32 temps; cap ~12 MB
+    # (v5e has ~16 MB usable; leave room for the in/out block buffers).
+    weight_bytes = (
+        d_model * 2 * d_inner + d_inner * d_model  # Win, Wout
+        + d_inner * 3 * PACK + PACK * d_inner      # packs
+    ) * weight_bytes_per_el
+    temp_bytes = DEFAULT_BLOCK_L * d_inner * 4 * 5
+    # bf16 Base measures ~13.4 MB total and compiles/runs on v5e; fp32 Base
+    # (~19 MB) must stay gated out.
+    return weight_bytes + temp_bytes < 14 * 1024 * 1024
+
+
+def _block_kernel(
+    hid_ref,      # (1, c, E) hidden in
+    res_ref,      # (1, c, E) residual in (f32 policy upstream)
+    nw_ref,       # (1, E) norm weight
+    nb_ref,       # (1, E) norm bias (zeros for rms)
+    win_ref,      # (E, 2*Di)
+    wout_ref,     # (Di, E)
+    convw_ref,    # (W, Di)
+    convb_ref,    # (1, Di)
+    wx_ref,       # (Di, 3*PACK)
+    wdt_ref,      # (PACK, Di)
+    at_ref,       # (N, Di) f32
+    dskip_ref,    # (1, Di) f32
+    dtbias_ref,   # (1, Di) f32
+    h0_ref,       # (1, N, Di) f32
+    cstate_ref,   # (1, W, Di)
+    out_ref,      # out (1, c, E) mixer output (next hidden)
+    resout_ref,   # out (1, c, E) post-add residual (next residual)
+    hlast_ref,    # out (1, N, Di) f32
+    *rest,
+    block_l: int,
+    width: int,
+    n_state: int,
+    seqlen: int,
+    norm_rms: bool,
+    eps: float,
+    highest: bool,
+    checkpoints: bool,
+):
+    if checkpoints:
+        (hckpt_ref, h_scratch, ctx_scr, delta_scr, du_scr, yacc_scr) = rest
+    else:
+        (h_scratch, ctx_scr, delta_scr, du_scr, yacc_scr) = rest
+        hckpt_ref = None
+    l_idx = pl.program_id(2)
+    n = n_state
+
+    @pl.when(l_idx == 0)
+    def _():
+        h_scratch[:] = h0_ref[0]
+        # Conv left context: last W-1 raw inputs from the streaming window.
+        ctx_scr[:] = cstate_ref[0][1:, :].astype(jnp.float32)
+
+    if checkpoints:
+        hckpt_ref[0, 0] = h_scratch[:]
+
+    # ---- add-norm (f32 stats).
+    res_out = hid_ref[0].astype(jnp.float32) + res_ref[0].astype(jnp.float32)
+    resout_ref[0] = res_out.astype(resout_ref.dtype)
+    if norm_rms:
+        var = jnp.mean(jnp.square(res_out), axis=-1, keepdims=True)
+        normed = res_out * jax.lax.rsqrt(var + eps)
+    else:
+        mu = jnp.mean(res_out, axis=-1, keepdims=True)
+        cen = res_out - mu
+        var = jnp.mean(jnp.square(cen), axis=-1, keepdims=True)
+        normed = cen * jax.lax.rsqrt(var + eps)
+    normed = normed * nw_ref[0][None, :] + nb_ref[0][None, :]
+
+    # ---- in projection.
+    precision = jax.lax.Precision.HIGHEST if highest else None
+    mm0 = normed if highest else normed.astype(win_ref.dtype)
+    xz = jax.lax.dot(mm0, win_ref[:].astype(mm0.dtype), precision=precision,
+                     preferred_element_type=jnp.float32)   # (c, 2Di)
+    d_inner = win_ref.shape[1] // 2
+    x = xz[:, :d_inner]
+    z = xz[:, d_inner:]
+
+    # ---- causal conv with carried scratch context.
+    ctx = jnp.concatenate([ctx_scr[:], x], axis=0)          # (c+W-1, Di)
+    w = convw_ref[:].astype(jnp.float32)
+    cy = w[width - 1][None, :] * x
+    for k in range(width - 1):
+        cy = cy + w[k][None, :] * ctx[k:k + block_l]
+    cy = cy + convb_ref[0][None, :]
+    cy = cy * jax.nn.sigmoid(cy)
+    ctx_scr[:] = x[block_l - (width - 1):, :]               # save for next
+
+    # ---- x/dt projections.
+    mm1 = cy if highest else cy.astype(wx_ref.dtype)
+    xdbl = jax.lax.dot(mm1, wx_ref[:].astype(mm1.dtype), precision=precision,
+                       preferred_element_type=jnp.float32)
+    dt_in = xdbl[:, :PACK]
+    dt_mm = dt_in if highest else dt_in.astype(wdt_ref.dtype)
+    delta_raw = jax.lax.dot(dt_mm, wdt_ref[:].astype(dt_mm.dtype),
+                            precision=precision,
+                            preferred_element_type=jnp.float32)
+
+    delta = jax.nn.softplus(delta_raw + dtbias_ref[0][None, :])
+    row_ids = lax.broadcasted_iota(jnp.int32, (block_l, 1), 0)
+    valid = (l_idx * block_l + row_ids) < seqlen
+    delta = jnp.where(valid, delta, 0.0)
+    delta_scr[:] = delta
+    du_scr[:] = delta * cy
+
+    b_blk = xdbl[:, PACK:PACK + n].T
+    c_blk = xdbl[:, 2 * PACK:2 * PACK + n].T
+    a_t = at_ref[:]
+    time_ids = lax.broadcasted_iota(jnp.int32, (1, block_l), 1)
+    group = 8
+
+    def body(g, h):
+        base = pl.multiple_of(g * group, group)
+        d_rows = delta_scr[pl.ds(base, group), :]
+        du_rows = du_scr[pl.ds(base, group), :]
+        dA8 = jnp.exp(d_rows[:, None, :] * a_t[None, :, :])
+        ys = []
+        for k in range(group):
+            onehot = (time_ids == base + k).astype(jnp.float32)
+            b_t = jnp.sum(b_blk * onehot, axis=1, keepdims=True)
+            c_t = jnp.sum(c_blk * onehot, axis=1, keepdims=True)
+            h = dA8[k] * h + du_rows[k:k + 1, :] * b_t
+            ys.append(jnp.sum(c_t * h, axis=0, keepdims=True))
+        yacc_scr[pl.ds(base, group), :] = jnp.concatenate(ys, axis=0)
+        return h
+
+    h_final = lax.fori_loop(0, block_l // group, body, h_scratch[:])
+    h_scratch[:] = h_final
+    hlast_ref[0] = h_final
+
+    y = yacc_scr[:] + cy * dskip_ref[0][None, :]
+    zf = z
+    y = y * (zf * jax.nn.sigmoid(zf))
+
+    # ---- out projection.
+    mm2 = y if highest else y.astype(wout_ref.dtype)
+    out = jax.lax.dot(mm2, wout_ref[:].astype(mm2.dtype), precision=precision,
+                      preferred_element_type=jnp.float32)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("norm_rms", "eps", "residual_fp32", "block_l",
+                     "interpret", "checkpoints", "highest"),
+)
+def block_fused_pallas(
+    hidden: Array,     # (B, L, E)
+    residual: Array,   # (B, L, E) (zeros for the first block)
+    norm_w: Array,     # (E,)
+    norm_b: Optional[Array],
+    win: Array,        # (E, 2*Di)
+    wout: Array,       # (Di, E)
+    conv_w: Array,     # (W, Di)
+    conv_b: Array,     # (Di,)
+    wx_pack: Array,    # (Di, 3*PACK)
+    wdt_pack: Array,   # (PACK, Di)
+    A: Array,          # (Di, N) f32
+    D: Array,          # (Di,) f32
+    dt_bias: Array,    # (Di,) f32
+    h0: Array,         # (B, Di, N)
+    conv_state: Array, # (B, Di, W)
+    norm_rms: bool = True,
+    eps: float = 1e-5,
+    residual_fp32: bool = True,
+    block_l: int = DEFAULT_BLOCK_L,
+    interpret: bool = False,
+    checkpoints: bool = False,
+    highest: bool = False,
+):
+    """Whole-block fused forward.
+
+    Returns (out (B, L, E), residual_out (B, L, E), h_last (B, Di, N)
+    [, hckpt]).
+    """
+    from videomamba_tpu.ops.dispatch import interpret_mode
+
+    if interpret_mode():
+        interpret = True
+    bsz, seqlen, e = hidden.shape
+    d_inner = win.shape[1] // 2
+    n = A.shape[1]
+    width = conv_w.shape[0]
+
+    block_l = min(block_l, max(8, seqlen))
+    block_l = ((block_l + 7) // 8) * 8
+    if block_l <= width:
+        raise ValueError("block_l must exceed the conv width.")
+    pad = (-seqlen) % block_l
+    lpad = seqlen + pad
+    if pad:
+        hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
+        residual = jnp.pad(residual, ((0, 0), (0, pad), (0, 0)))
+    num_blocks = lpad // block_l
+
+    a_t = A.T.astype(jnp.float32)
+    dskip = D.astype(jnp.float32)[None, :]
+    dtb = dt_bias.astype(jnp.float32)[None, :]
+    h0_nd = h0.astype(jnp.float32).swapaxes(1, 2)
+    cstate_wd = conv_state.swapaxes(1, 2)
+    convb = conv_b.astype(jnp.float32)[None, :]
+    nw = norm_w.astype(jnp.float32)[None, :]
+    nb = (norm_b if norm_b is not None else jnp.zeros((e,), jnp.float32)
+          ).astype(jnp.float32)[None, :]
+    res_dtype = jnp.float32 if residual_fp32 else hidden.dtype
+
+    grid = (bsz, 1, num_blocks)
+    kernel = functools.partial(
+        _block_kernel, block_l=block_l, width=width, n_state=n,
+        seqlen=seqlen, norm_rms=norm_rms, eps=eps, highest=highest,
+        checkpoints=checkpoints,
+    )
+
+    full = lambda b, j, l: (b, l, 0)  # noqa: E731
+    fixed = lambda b, j, l: (0, 0)  # noqa: E731
+
+    out_specs = [
+        pl.BlockSpec((1, block_l, e), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_l, e), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n, d_inner), lambda b, j, l: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bsz, lpad, e), hidden.dtype),
+        jax.ShapeDtypeStruct((bsz, lpad, e), res_dtype),
+        jax.ShapeDtypeStruct((bsz, n, d_inner), jnp.float32),
+    ]
+    if checkpoints:
+        out_specs.append(
+            pl.BlockSpec((1, 1, n, d_inner), lambda b, j, l: (b, l, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((bsz, num_blocks, n, d_inner), jnp.float32)
+        )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_l, e), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_l, e), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, e), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, e), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((e, 2 * d_inner), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_inner, e), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((width, d_inner), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_inner), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_inner, 3 * PACK), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((PACK, d_inner), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, d_inner), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_inner), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_inner), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d_inner), lambda b, j, l: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width, d_inner), lambda b, j, l: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((n, d_inner), jnp.float32),
+            pltpu.VMEM((width - 1, d_inner), jnp.float32),
+            pltpu.VMEM((block_l, d_inner), jnp.float32),
+            pltpu.VMEM((block_l, d_inner), jnp.float32),
+            pltpu.VMEM((block_l, d_inner), jnp.float32),
+        ],
+        interpret=interpret,
+    )(hidden, residual, nw, nb, win, wout, conv_w, convb, wx_pack, wdt_pack,
+      a_t, dskip, dtb, h0_nd, cstate_wd)
+
+    if checkpoints:
+        out, res_out, h_last, hckpt = outs
+    else:
+        out, res_out, h_last = outs
+    if pad:
+        out = out[:, :seqlen]
+        res_out = res_out[:, :seqlen]
+    h_last = h_last.swapaxes(1, 2)
+    if checkpoints:
+        return out, res_out, h_last, hckpt
+    return out, res_out, h_last
