@@ -179,7 +179,14 @@ class Block:
         if state is not None and ssm_state is not None:
             raise ValueError("Pass either state or ssm_state, not both.")
 
-        if inference_params is None and self._use_block_fused(params):
+        # Whole-block fusion is an inference-path optimization: its backward
+        # recomputes the full block (measured slower than the fused-mixer
+        # training path), so it engages only on deterministic calls.
+        if (
+            inference_params is None
+            and deterministic
+            and self._use_block_fused(params)
+        ):
             return self._call_block_fused(
                 params, hidden_states, residual, state, return_state,
                 ssm_state, drop_path_key, deterministic,
