@@ -293,8 +293,6 @@ class Block:
             self.residual_in_fp32,
         )
         if state is None or not return_state:
-            if state is not None:
-                return out, res_out
             return out, res_out
         # New conv window: recompute the conv-input x for the last W
         # positions only (one tiny norm + matmul; the kernel never

@@ -89,7 +89,6 @@ def _fused_mixer(x_in, z_in, conv_w, conv_b, wx, wdt, dt_bias, A, D, h0,
 def _fused_mixer_fwd(x_in, z_in, conv_w, conv_b, wx, wdt, dt_bias, A, D, h0,
                      conv_state):
     from videomamba_tpu.ops.pallas.mixer_fused import (
-        DEFAULT_BLOCK_L,
         mixer_fused_pallas,
         pack_weights,
     )

@@ -47,10 +47,17 @@ def interpret_mode() -> bool:
 
 
 def preferred_scan_method() -> str:
-    """Scan backend for fast-path callers: env override > pallas > chunked."""
+    """Scan backend for fast-path callers: env override > pallas > chunked.
+
+    A forced "pallas" still requires the kernel to be runnable here (TPU or
+    interpret mode) — otherwise fall back to the exact chunked path rather
+    than crash at lowering time.
+    """
     forced = os.getenv(_FORCE_SCAN_METHOD_ENV, "").strip().lower()
-    if forced in {"ref", "chunked", "pallas"}:
+    if forced in {"ref", "chunked"}:
         return forced
+    if forced == "pallas":
+        return "pallas" if pallas_scan_available() else "chunked"
     if pallas_scan_available():
         return "pallas"
     return "chunked"

@@ -90,8 +90,6 @@ class DecodeSession:
     """
 
     def __init__(self, model, batch_size: int, dtype: Optional[jnp.dtype] = None):
-        if model.drop_path_rate > 0:
-            pass  # decode is deterministic; rates are irrelevant here
         self.model = model
         self.batch_size = batch_size
         block = model.layers[0]
