@@ -516,10 +516,13 @@ def scan_bwd_pallas(
         interpret = True
     bsz, seqlen, d = u.shape
     n = A.shape[1]
-    if block_d == 0:
-        block_d = min(_pick_block_d(d), 256)
     block_l = min(block_l, max(8, seqlen))
     block_l = ((block_l + 7) // 8) * 8
+    if block_d == 0:
+        # Swept on v5e: d-tile 512 wins when the hbuf (block_l, N, block_d)
+        # scratch fits (block_l <= 128); larger time blocks need 256.
+        cand = _pick_block_d(d)
+        block_d = cand if block_l <= 128 else min(cand, 256)
     num_blocks = hckpt.shape[1]
 
     pad = (-seqlen) % block_l
