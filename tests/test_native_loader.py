@@ -1,0 +1,173 @@
+"""Native (C++) clip loader: parity vs a numpy reference pipeline,
+determinism across thread counts, shuffle seeding, resize, epochs.
+
+The reference ships no input pipeline (model contract starts at
+(B, C, T, H, W), README.md:92-127); the native loader is the
+torch-DataLoader-equivalent for the TPU serving/training paths.
+"""
+
+import numpy as np
+import pytest
+
+from videomamba_tpu.data import native as nat
+
+if not nat.native_available():  # pragma: no cover - g++ is in the image
+    pytest.skip("native loader unavailable (no g++?)", allow_module_level=True)
+
+MEAN = np.array(nat.IMAGENET_MEAN, np.float32)
+STD = np.array(nat.IMAGENET_STD, np.float32)
+
+
+@pytest.fixture(scope="module")
+def videos(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("vids")
+    rng = np.random.default_rng(0)
+    paths, arrays = [], []
+    for i in range(7):
+        v = rng.integers(0, 256, (12, 32, 32, 3), dtype=np.uint8)
+        if i % 2 == 0:
+            p = tmp / f"v{i}.vraw"
+            nat.write_vraw(p, v)
+        else:
+            p = tmp / f"v{i}.npy"
+            np.save(p, v)
+        paths.append(str(p))
+        arrays.append(v)
+    return paths, arrays
+
+
+def ref_clip(video, clip_len, crop, stride=1):
+    """Numpy reference: center start, center crop, normalise, CTHW."""
+    T, H, W, _ = video.shape
+    span = (clip_len - 1) * stride + 1
+    start = (T - span) // 2 if T > span else 0
+    idx = np.minimum(start + np.arange(clip_len) * stride, T - 1)
+    frames = video[idx].astype(np.float32)
+    cy, cx = (H - crop) // 2, (W - crop) // 2
+    frames = frames[:, cy:cy + crop, cx:cx + crop]
+    out = (frames / 255.0 - MEAN) / STD
+    return out.transpose(3, 0, 1, 2)
+
+
+def test_eval_batches_match_numpy(videos):
+    paths, arrays = videos
+    ld = nat.NativeClipLoader(paths, clip_len=4, crop=32, batch_size=3,
+                              num_threads=3)
+    got = list(ld.epoch(seed=0, shuffle=False))
+    ld.close()
+    clips = np.concatenate([b for b, _ in got])
+    labels = np.concatenate([l for _, l in got])
+    assert clips.shape == (7, 3, 4, 32, 32)
+    assert labels.tolist() == list(range(7))
+    for i, v in enumerate(arrays):
+        np.testing.assert_allclose(clips[i], ref_clip(v, 4, 32), atol=1e-5)
+
+
+def test_temporal_stride_and_clamp(videos):
+    paths, arrays = videos
+    # stride 5 with clip_len 4 spans 16 > T=12 -> start 0, clamp at T-1
+    ld = nat.NativeClipLoader(paths[:1], clip_len=4, frame_stride=5,
+                              crop=32, batch_size=1)
+    (clips, _), = list(ld.epoch())
+    ld.close()
+    idx = np.minimum(np.arange(4) * 5, 11)
+    ref = ((arrays[0][idx].astype(np.float32) / 255 - MEAN) / STD
+           ).transpose(3, 0, 1, 2)
+    np.testing.assert_allclose(clips[0], ref, atol=1e-5)
+
+
+def test_deterministic_across_thread_counts(videos):
+    paths, _ = videos
+    outs = []
+    for threads in (1, 4):
+        ld = nat.NativeClipLoader(paths, clip_len=4, crop=24, batch_size=4,
+                                  num_threads=threads, train=True,
+                                  short_side=28)
+        outs.append(list(ld.epoch(seed=7, shuffle=True)))
+        ld.close()
+    assert len(outs[0]) == len(outs[1])
+    for (a, la), (b, lb) in zip(outs[0], outs[1]):
+        np.testing.assert_array_equal(la, lb)
+        np.testing.assert_array_equal(a, b)  # bit-exact regardless of threads
+
+
+def test_shuffle_seeding(videos):
+    paths, _ = videos
+    ld = nat.NativeClipLoader(paths, clip_len=2, crop=32, batch_size=7)
+    order = [list(ld.epoch(seed=s, shuffle=True))[0][1].tolist()
+             for s in (1, 1, 2)]
+    ld.close()
+    assert order[0] == order[1]          # same seed -> same order
+    assert order[0] != order[2]          # different seed -> different order
+    assert sorted(order[2]) == list(range(7))  # a permutation, nothing lost
+
+
+def test_resize_matches_numpy_bilinear(videos, tmp_path):
+    rng = np.random.default_rng(3)
+    v = rng.integers(0, 256, (4, 48, 64, 3), dtype=np.uint8)
+    p = tmp_path / "wide.vraw"
+    nat.write_vraw(p, v)
+    short = 32
+    ld = nat.NativeClipLoader([str(p)], clip_len=2, crop=32, batch_size=1,
+                              short_side=short)
+    (clips, _), = list(ld.epoch())
+    ld.close()
+
+    # numpy bilinear, align_corners=False (same convention as ops/resample.py)
+    scale = short / min(48, 64)
+    rh, rw = round(48 * scale), round(64 * scale)
+    def resize(img):
+        out = np.empty((rh, rw, 3), np.float32)
+        fy = np.clip((np.arange(rh) + 0.5) * (48 / rh) - 0.5, 0, 47)
+        fx = np.clip((np.arange(rw) + 0.5) * (64 / rw) - 0.5, 0, 63)
+        y0 = fy.astype(int); y1 = np.minimum(y0 + 1, 47); wy = fy - y0
+        x0 = fx.astype(int); x1 = np.minimum(x0 + 1, 63); wx = fx - x0
+        img = img.astype(np.float32)
+        top = img[y0][:, x0] + (img[y0][:, x1] - img[y0][:, x0]) * wx[None, :, None]
+        bot = img[y1][:, x0] + (img[y1][:, x1] - img[y1][:, x0]) * wx[None, :, None]
+        out = top + (bot - top) * wy[:, None, None]
+        return out
+    start = (4 - 2) // 2
+    frames = np.stack([resize(v[start + t]) for t in range(2)])
+    cy, cx = (rh - 32) // 2, (rw - 32) // 2
+    frames = frames[:, cy:cy + 32, cx:cx + 32]
+    ref = ((frames / 255.0 - MEAN) / STD).transpose(3, 0, 1, 2)
+    np.testing.assert_allclose(clips[0], ref, atol=1e-4)
+
+
+def test_multi_epoch_and_train_stats(videos):
+    paths, _ = videos
+    ld = nat.NativeClipLoader(paths, clip_len=4, crop=24, batch_size=4,
+                              num_threads=2, train=True, short_side=28)
+    e0 = list(ld.epoch(seed=0, shuffle=True))
+    e0b = list(ld.epoch(seed=0, shuffle=True))
+    e1 = list(ld.epoch(seed=1, shuffle=True))
+    ld.close()
+    # same seed, later epoch index -> same ORDER but fresh augmentation draws
+    np.testing.assert_array_equal(e0[0][1], e0b[0][1])
+    assert not all(np.array_equal(a, b)
+                   for (a, _), (b, _) in zip(e0, e0b))
+    assert len(e1) == len(e0) == 2
+    # values stay in the normalised range implied by uint8 inputs
+    allv = np.concatenate([b.ravel() for b, _ in e0])
+    lo = (0 - MEAN.max()) / STD.min() - 0.1
+    hi = (1 - MEAN.min()) / STD.min() + 0.1
+    assert allv.min() >= lo and allv.max() <= hi
+
+
+def test_drop_last(videos):
+    paths, _ = videos
+    ld = nat.NativeClipLoader(paths, clip_len=2, crop=32, batch_size=4)
+    batches = list(ld.epoch(drop_last=True))
+    ld.close()
+    assert len(batches) == 1 and batches[0][0].shape[0] == 4
+
+
+def test_bad_inputs(tmp_path, videos):
+    bad = tmp_path / "bad.vraw"
+    bad.write_bytes(b"NOTMAGIC" + b"\0" * 16)
+    with pytest.raises(RuntimeError, match="magic"):
+        nat.NativeClipLoader([str(bad)], clip_len=2, crop=8, batch_size=1)
+    paths, _ = videos
+    with pytest.raises(RuntimeError, match="smaller than crop"):
+        nat.NativeClipLoader(paths[:1], clip_len=2, crop=64, batch_size=1)
