@@ -37,6 +37,8 @@
 #include <fcntl.h>
 #include <unistd.h>
 
+#include "jpeg.h"
+
 namespace {
 
 // ---------------------------------------------------------------------------
@@ -47,6 +49,8 @@ struct VideoMeta {
   std::string path;
   int64_t data_offset = 0;  // byte offset of frame 0
   int32_t T = 0, H = 0, W = 0, C = 0;
+  bool jpeg = false;              // VMJPG001: per-frame JPEG payloads
+  std::vector<int64_t> offsets;   // jpeg only: T+1 offsets from data start
   bool ok = false;
   std::string error;
 };
@@ -117,6 +121,39 @@ bool parse_vraw_header(FILE* f, VideoMeta* m) {
   return true;
 }
 
+bool parse_vmjpg_header(FILE* f, VideoMeta* m) {
+  char magic[8];
+  if (fread(magic, 1, 8, f) != 8) return false;
+  if (memcmp(magic, "VMJPG001", 8) != 0) {
+    m->error = "bad VMJPG001 magic";
+    return false;
+  }
+  uint32_t dims[4];
+  if (fread(dims, 4, 4, f) != 4) return false;
+  m->T = dims[0]; m->H = dims[1]; m->W = dims[2]; m->C = dims[3];
+  if (m->C != 3) {
+    m->error = "VMJPG001 requires C=3";
+    return false;
+  }
+  if (m->T <= 0 || m->T > (1 << 24)) {
+    m->error = "bad VMJPG001 frame count";
+    return false;
+  }
+  m->offsets.resize(m->T + 1);
+  std::vector<uint64_t> raw(m->T + 1);
+  if (fread(raw.data(), 8, m->T + 1, f) != size_t(m->T + 1)) return false;
+  for (int i = 0; i <= m->T; ++i) m->offsets[i] = int64_t(raw[i]);
+  for (int i = 0; i < m->T; ++i) {
+    if (m->offsets[i + 1] < m->offsets[i]) {
+      m->error = "non-monotonic VMJPG001 offsets";
+      return false;
+    }
+  }
+  m->data_offset = 24 + 8 * int64_t(m->T + 1);
+  m->jpeg = true;
+  return true;
+}
+
 VideoMeta read_meta(const std::string& path) {
   VideoMeta m;
   m.path = path;
@@ -125,11 +162,16 @@ VideoMeta read_meta(const std::string& path) {
     m.error = "cannot open " + path;
     return m;
   }
-  bool ok;
-  size_t n = path.size();
-  if (n >= 4 && path.compare(n - 4, 4, ".npy") == 0) {
+  char magic[8] = {0};
+  size_t got = fread(magic, 1, 8, f);
+  rewind(f);
+  bool ok = false;
+  if (got == 8 && memcmp(magic, "\x93NUMPY", 6) == 0) {
     ok = parse_npy_header(f, &m);
     if (!ok && m.error.empty()) m.error = "bad npy header: " + path;
+  } else if (got == 8 && memcmp(magic, "VMJPG001", 8) == 0) {
+    ok = parse_vmjpg_header(f, &m);
+    if (!ok && m.error.empty()) m.error = "bad vmjpg header: " + path;
   } else {
     ok = parse_vraw_header(f, &m);
     if (!ok && m.error.empty()) m.error = "bad vraw header: " + path;
@@ -342,11 +384,35 @@ void Loader::decode(const Task& t) {
     for (int v = 0; v < 256; ++v) lut[k][v] = v * nscale[k] + nbias[k];
   }
   const int nc = std::min(m.C, 3);
+  std::vector<uint8_t> jbuf;
   bool ok = true;
   for (int i = 0; i < CL; ++i) {
     int ti = start + i * cfg.stride;
     if (ti > m.T - 1) ti = m.T - 1;  // clamp: repeat last frame
-    if (!read_frame(fd, m, ti, frame.data())) {
+    if (m.jpeg) {
+      int64_t beg = m.data_offset + m.offsets[ti];
+      int64_t len = m.offsets[ti + 1] - m.offsets[ti];
+      jbuf.resize(len);
+      int64_t got_b = 0;
+      while (got_b < len) {
+        ssize_t r = pread(fd, jbuf.data() + got_b, len - got_b, beg + got_b);
+        if (r <= 0) break;
+        got_b += r;
+      }
+      int jw = 0, jh = 0;
+      std::string jerr;
+      if (got_b < len ||
+          !vmjpeg::decode_rgb(jbuf.data(), len, &frame, &jw, &jh, &jerr)) {
+        set_error("jpeg decode failed (" + jerr + "): " + m.path);
+        ok = false;
+        break;
+      }
+      if (jw != m.W || jh != m.H) {
+        set_error("jpeg frame size mismatch: " + m.path);
+        ok = false;
+        break;
+      }
+    } else if (!read_frame(fd, m, ti, frame.data())) {
       set_error("short read: " + m.path);
       ok = false;
       break;

@@ -43,16 +43,20 @@ def native_available() -> bool:
         return False
 
 
+_SRCS = [_SRC, _SRC.parent / "jpeg.cc", _SRC.parent / "jpeg.h"]
+
+
 def build_native(force: bool = False) -> Path:
-    """Compile libvideoloader.so with g++ (cached on mtime)."""
+    """Compile libvideoloader.so with g++ (cached on source mtimes)."""
     if not _SRC.exists():
         raise FileNotFoundError(f"native source missing: {_SRC}")
-    if _SO.exists() and not force and _SO.stat().st_mtime >= _SRC.stat().st_mtime:
+    newest = max(s.stat().st_mtime for s in _SRCS if s.exists())
+    if _SO.exists() and not force and _SO.stat().st_mtime >= newest:
         return _SO
     _SO.parent.mkdir(parents=True, exist_ok=True)
     cmd = [
         os.environ.get("CXX", "g++"), "-O3", "-std=c++17", "-fPIC", "-shared",
-        "-pthread", str(_SRC), "-o", str(_SO),
+        "-pthread", str(_SRC), str(_SRC.parent / "jpeg.cc"), "-o", str(_SO),
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True)
     if proc.returncode != 0:
@@ -100,6 +104,41 @@ def write_vraw(path, video: np.ndarray) -> None:
         f.write(b"VMRAW001")
         f.write(struct.pack("<4I", *video.shape))
         f.write(video.tobytes())
+
+
+def write_vmjpg(path, jpeg_frames: Sequence[bytes],
+                height: int, width: int) -> None:
+    """Write an MJPEG shard (VMJPG001): per-frame baseline JPEG payloads
+    with an offset index, decoded natively by the loader's built-in
+    baseline JPEG decoder. All frames must share (height, width)."""
+    offsets = np.zeros(len(jpeg_frames) + 1, dtype=np.uint64)
+    for i, fr in enumerate(jpeg_frames):
+        offsets[i + 1] = offsets[i] + len(fr)
+    with open(path, "wb") as f:
+        f.write(b"VMJPG001")
+        f.write(struct.pack("<4I", len(jpeg_frames), height, width, 3))
+        f.write(offsets.tobytes())
+        for fr in jpeg_frames:
+            f.write(fr)
+
+
+def encode_vmjpg(path, video: np.ndarray, quality: int = 90,
+                 subsampling: int = 0) -> None:
+    """Encode a (T, H, W, 3) uint8 array as a VMJPG001 shard via PIL
+    (baseline JPEGs; subsampling=0 is 4:4:4). PIL is only needed for
+    WRITING — decode is native."""
+    import io
+
+    from PIL import Image
+
+    video = np.ascontiguousarray(video, dtype=np.uint8)
+    frames = []
+    for t in range(video.shape[0]):
+        buf = io.BytesIO()
+        Image.fromarray(video[t]).save(
+            buf, format="JPEG", quality=quality, subsampling=subsampling)
+        frames.append(buf.getvalue())
+    write_vmjpg(path, frames, video.shape[1], video.shape[2])
 
 
 class NativeClipLoader:
