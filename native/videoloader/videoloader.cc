@@ -318,7 +318,7 @@ struct Loader {
   void decode(const Task& t);
   void worker_main();
   void scheduler_main(int64_t);
-  void start(int64_t seed, bool shuffle, bool drop_last);
+  void start(int64_t seed, bool shuffle, bool drop_last, int64_t epoch_index);
   int next(float* out, int64_t* labels_out);
   void shutdown();
 };
@@ -509,7 +509,8 @@ void Loader::scheduler_main(int64_t) {
   }
 }
 
-void Loader::start(int64_t seed, bool shuffle, bool drop_last) {
+void Loader::start(int64_t seed, bool shuffle, bool drop_last,
+                   int64_t epoch_index) {
   // Cancel any in-flight epoch, drain, reset ring.
   {
     std::lock_guard<std::mutex> l(mu);
@@ -527,7 +528,9 @@ void Loader::start(int64_t seed, bool shuffle, bool drop_last) {
     for (auto& slot : ring) slot.state = SlotState::kFree;
     epoch_cancel = false;
     epoch_seed = seed;
-    epoch_idx += 1;
+    // explicit epoch index makes checkpoint-resume replays bit-exact;
+    // -1 keeps the auto-incrementing behaviour
+    epoch_idx = epoch_index >= 0 ? epoch_index : epoch_idx + 1;
     next_deliver = 0;
     order.resize(metas.size());
     for (size_t i = 0; i < order.size(); ++i) order[i] = int(i);
@@ -634,9 +637,9 @@ void* vml_create(const char** paths, const int64_t* labels, int32_t n,
 }
 
 int32_t vml_start_epoch(void* h, int64_t seed, int32_t shuffle,
-                        int32_t drop_last) {
+                        int32_t drop_last, int64_t epoch_index) {
   auto* ld = static_cast<Loader*>(h);
-  ld->start(seed, shuffle != 0, drop_last != 0);
+  ld->start(seed, shuffle != 0, drop_last != 0, epoch_index);
   return ld->n_batches;
 }
 

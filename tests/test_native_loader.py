@@ -171,3 +171,17 @@ def test_bad_inputs(tmp_path, videos):
     paths, _ = videos
     with pytest.raises(RuntimeError, match="smaller than crop"):
         nat.NativeClipLoader(paths[:1], clip_len=2, crop=64, batch_size=1)
+
+
+def test_explicit_epoch_index_replays_exactly(videos):
+    paths, _ = videos
+    ld = nat.NativeClipLoader(paths, clip_len=4, crop=24, batch_size=4,
+                              num_threads=2, train=True, short_side=28)
+    first = list(ld.epoch(seed=3, shuffle=True, epoch=5))
+    list(ld.epoch(seed=0, shuffle=True))     # interleave other epochs
+    list(ld.epoch(seed=9, shuffle=True, epoch=0))
+    replay = list(ld.epoch(seed=3, shuffle=True, epoch=5))
+    ld.close()
+    for (a, la), (b, lb) in zip(first, replay):
+        np.testing.assert_array_equal(la, lb)
+        np.testing.assert_array_equal(a, b)  # bit-exact resume replay

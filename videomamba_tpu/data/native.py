@@ -80,7 +80,8 @@ def _load_lib():
     ]
     lib.vml_start_epoch.restype = ctypes.c_int32
     lib.vml_start_epoch.argtypes = [
-        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32]
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64]
     lib.vml_next.restype = ctypes.c_int32
     lib.vml_next.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
@@ -194,15 +195,20 @@ class NativeClipLoader:
 
     def epoch(
         self, seed: int = 0, shuffle: Optional[bool] = None,
-        drop_last: bool = False,
+        drop_last: bool = False, epoch: Optional[int] = None,
     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Iterate one epoch; yields (clips, labels) with clips
         (count, C, clip_len, crop, crop) float32 (count < batch_size only
-        on a non-dropped final partial batch)."""
+        on a non-dropped final partial batch).
+
+        ``epoch`` pins the augmentation-RNG epoch index (making
+        checkpoint-resume replays bit-exact); by default it auto-increments
+        per call so repeated epochs draw fresh augmentations."""
         if shuffle is None:
             shuffle = False
         n_batches = self._lib.vml_start_epoch(
-            self._handle, seed, 1 if shuffle else 0, 1 if drop_last else 0)
+            self._handle, seed, 1 if shuffle else 0, 1 if drop_last else 0,
+            -1 if epoch is None else int(epoch))
         buf = np.empty(self._batch_floats, dtype=np.float32)
         lbl = np.empty(self.batch_size, dtype=np.int64)
         for _ in range(n_batches):
