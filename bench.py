@@ -120,6 +120,47 @@ def bench_full_clip(preset_fn, name, num_frames, batch_size, dtype_name, quick):
     return {f"{name}_clips_per_sec": batch_size / sec}
 
 
+def bench_train_step(preset_fn, name, num_frames, batch_size, quick):
+    """Full supervised-pretrain step: fwd + bwd + AdamW, bf16 compute with
+    fp32 masters (the production mixed-precision recipe)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from videomamba_tpu.parallel.train_step import make_train_step
+
+    model = preset_fn(num_frames=num_frames)
+    tx = optax.adamw(1e-4, weight_decay=0.05)
+    params = model.params
+    opt_state = jax.jit(tx.init)(params)
+
+    key = jax.random.PRNGKey(0)
+    video = jax.random.normal(
+        key, (batch_size, 3, num_frames, 224, 224), jnp.float32)
+    out_shape = jax.eval_shape(
+        lambda p, v: model.apply(p, v, deterministic=True), params, video)
+    x_vis = out_shape[0] if isinstance(out_shape, tuple) else out_shape
+    target = jnp.zeros(x_vis.shape, jnp.float32)
+
+    train_step = make_train_step(
+        model, tx, compute_dtype=jnp.bfloat16, donate=False)
+
+    def step(carry, video, target, rng):
+        p, o, s = carry
+        p, o, s, _ = train_step(p, o, s, {"video": video, "target": target},
+                                rng)
+        return (p, o, s)
+
+    carry0 = (params, opt_state, jnp.zeros((), jnp.int32))
+    sec = _chain_seconds_per_iter(
+        step, carry0, xs=(video, target, jax.random.PRNGKey(1)),
+        n_small=1, n_big=4 if quick else 10, repeats=2)
+    return {
+        f"{name}_clips_per_sec": batch_size / sec,
+        f"{name}_step_ms": sec * 1e3,
+    }
+
+
 def bench_parity():
     import jax
     import jax.numpy as jnp
@@ -172,6 +213,9 @@ def main():
     )
     details.update(
         bench_full_clip(videomamba_middle, "middle_clip16", 16, 4, "bf16", args.quick)
+    )
+    details.update(
+        bench_train_step(videomamba_base, "base_train", 8, 4, args.quick)
     )
     if not args.skip_parity:
         details.update(bench_parity())
