@@ -66,13 +66,31 @@ class Decoder {
 
   std::string error_;
 
+  // Header reads are bounded by limit_ (the current segment end, itself
+  // clamped to len_). A read past the limit sets overrun_ and yields 0;
+  // run() checks overrun_ after every segment parser, so no parser can
+  // walk past its declared segment or the input buffer.
+  size_t limit_ = 0;
+  bool overrun_ = false;
+
   bool fail(const std::string& msg) {
     if (error_.empty()) error_ = msg;
     return false;
   }
   bool need(size_t n) { return pos_ + n <= len_; }
-  int u8() { return data_[pos_++]; }
+  int u8() {
+    if (pos_ >= limit_) {
+      overrun_ = true;
+      return 0;
+    }
+    return data_[pos_++];
+  }
   int u16() {
+    if (pos_ + 2 > limit_) {
+      overrun_ = true;
+      pos_ = limit_;
+      return 0;
+    }
     int v = (data_[pos_] << 8) | data_[pos_ + 1];
     pos_ += 2;
     return v;
@@ -170,6 +188,9 @@ bool Decoder::parse_dht(size_t seg_end) {
     memset(t.lut_len, 0, sizeof(t.lut_len));
     int code = 0, k = 0;
     for (int l = 1; l <= 16; ++l) {
+      // canonical code space check: counts that overflow 2^l codes at
+      // length l would index past the lookahead LUT / values array
+      if (code + counts[l] > (1 << l)) return fail("bad DHT code space");
       t.valptr[l] = k;
       t.mincode[l] = code;
       if (l <= 8) {
@@ -208,6 +229,7 @@ bool Decoder::parse_sof0(size_t seg_end) {
     comp_[i].tq = u8();
     if (comp_[i].h < 1 || comp_[i].h > 4 || comp_[i].v < 1 || comp_[i].v > 4)
       return fail("bad sampling factors");
+    if (comp_[i].tq > 3) return fail("bad quant table selector");
     hmax_ = std::max(hmax_, comp_[i].h);
     vmax_ = std::max(vmax_, comp_[i].v);
   }
@@ -224,12 +246,14 @@ bool Decoder::parse_sos() {
       if (comp_[j].id == cs) {
         comp_[j].td = tdta >> 4;
         comp_[j].ta = tdta & 15;
+        if (comp_[j].td > 3 || comp_[j].ta > 3)
+          return fail("bad Huffman table selector");
         found = true;
       }
     }
     if (!found) return fail("unknown scan component");
   }
-  pos_ += 3;  // Ss, Se, Ah/Al (fixed for baseline)
+  u8(); u8(); u8();  // Ss, Se, Ah/Al (fixed for baseline; bounded reads)
   return true;
 }
 
@@ -241,6 +265,10 @@ bool Decoder::decode_block(Component& c, float* block) {
 
   int s = huff_decode(dc);
   if (s < 0) return fail("bad DC code");
+  // Baseline DC magnitude categories are 0..11 (ITU-T.81 table F.1); a
+  // file-controlled Huffman table can emit any 0..255 symbol, and s > 16
+  // would make read_bits shift by a negative count (UB).
+  if (s > 11) return fail("bad DC size");
   int diff = extend(read_bits(s), s);
   c.dc_pred += diff;
   for (int i = 0; i < 64; ++i) block[i] = 0.f;
@@ -379,6 +407,7 @@ bool Decoder::run(std::vector<uint8_t>* out, int* w, int* h,
   if (len_ < 4 || data_[0] != 0xFF || data_[1] != 0xD8)
     return finish_fail("not a JPEG (no SOI)");
   pos_ = 2;
+  limit_ = len_;
   bool got_sof = false, got_scan = false;
   while (pos_ + 4 <= len_ && !got_scan) {
     if (u8() != 0xFF) return finish_fail("marker sync lost");
@@ -387,8 +416,10 @@ bool Decoder::run(std::vector<uint8_t>* out, int* w, int* h,
     if (marker == 0xD9) break;  // EOI
     if (!need(2)) return finish_fail("truncated segment");
     int seg_len = u16();
+    if (seg_len < 2) return finish_fail("bad segment length");
     size_t seg_end = pos_ + seg_len - 2;
     if (seg_end > len_) return finish_fail("segment overruns file");
+    limit_ = seg_end;  // every parser read below is clamped to its segment
     switch (marker) {
       case 0xDB:
         if (!parse_dqt(seg_end)) return finish_fail("bad DQT");
@@ -420,7 +451,8 @@ bool Decoder::run(std::vector<uint8_t>* out, int* w, int* h,
         break;
       case 0xDA:
         if (!got_sof) return finish_fail("SOS before SOF");
-        if (!parse_sos()) return finish_fail("bad SOS");
+        if (!parse_sos() || overrun_) return finish_fail("bad SOS");
+        limit_ = len_;
         bitcnt_ = 0;
         bitbuf_ = 0;
         hit_marker_ = false;
@@ -430,6 +462,8 @@ bool Decoder::run(std::vector<uint8_t>* out, int* w, int* h,
       default:
         break;  // APPn / COM / others: skip
     }
+    if (overrun_) return finish_fail("truncated segment");
+    limit_ = len_;
     pos_ = seg_end;
   }
   if (!got_scan) return finish_fail("no scan data");

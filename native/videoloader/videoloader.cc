@@ -35,6 +35,7 @@
 #include <vector>
 
 #include <fcntl.h>
+#include <sys/stat.h>
 #include <unistd.h>
 
 #include "jpeg.h"
@@ -142,7 +143,13 @@ bool parse_vmjpg_header(FILE* f, VideoMeta* m) {
   m->offsets.resize(m->T + 1);
   std::vector<uint64_t> raw(m->T + 1);
   if (fread(raw.data(), 8, m->T + 1, f) != size_t(m->T + 1)) return false;
-  for (int i = 0; i <= m->T; ++i) m->offsets[i] = int64_t(raw[i]);
+  for (int i = 0; i <= m->T; ++i) {
+    if (raw[i] > uint64_t(INT64_MAX)) {
+      m->error = "VMJPG001 offset out of range";
+      return false;
+    }
+    m->offsets[i] = int64_t(raw[i]);
+  }
   for (int i = 0; i < m->T; ++i) {
     if (m->offsets[i + 1] < m->offsets[i]) {
       m->error = "non-monotonic VMJPG001 offsets";
@@ -150,6 +157,19 @@ bool parse_vmjpg_header(FILE* f, VideoMeta* m) {
     }
   }
   m->data_offset = 24 + 8 * int64_t(m->T + 1);
+  // A corrupt shard can declare arbitrarily large offsets, which would turn
+  // into huge per-frame read buffers in decode(); reject anything that does
+  // not fit inside the actual file.
+  struct stat st;
+  if (fstat(fileno(f), &st) != 0) {
+    m->error = "fstat failed for VMJPG001 shard";
+    return false;
+  }
+  if (m->offsets[0] < 0 ||
+      m->data_offset + m->offsets[m->T] > int64_t(st.st_size)) {
+    m->error = "VMJPG001 offsets exceed file size";
+    return false;
+  }
   m->jpeg = true;
   return true;
 }
@@ -303,6 +323,7 @@ struct Loader {
   bool epoch_active = false;
 
   std::string last_error;
+  char err_snapshot[512] = {0};  // stable buffer handed to ctypes callers
 
   int64_t sample_floats() const {
     return int64_t(3) * cfg.clip_len * cfg.crop * cfg.crop;
@@ -314,8 +335,21 @@ struct Loader {
     if (last_error.empty()) last_error = e;
   }
 
-  // Decode one sample into slot `s` of ring buffer `ring_slot`.
-  void decode(const Task& t);
+  // Decode one sample into slot `s` of ring buffer `ring_slot`. The outer
+  // decode() catches exceptions (e.g. allocation failures on corrupt
+  // inputs) so a bad sample surfaces through last_error instead of
+  // std::terminate-ing the worker thread.
+  void decode(const Task& t) {
+    try {
+      decode_impl(t);
+    } catch (const std::exception& e) {
+      set_error(std::string("decode exception: ") + e.what());
+      float* out =
+          ring[t.ring_slot].buf.data() + int64_t(t.slot_in_batch) * sample_floats();
+      memset(out, 0, sample_floats() * sizeof(float));
+    }
+  }
+  void decode_impl(const Task& t);
   void worker_main();
   void scheduler_main(int64_t);
   void start(int64_t seed, bool shuffle, bool drop_last, int64_t epoch_index);
@@ -323,7 +357,7 @@ struct Loader {
   void shutdown();
 };
 
-void Loader::decode(const Task& t) {
+void Loader::decode_impl(const Task& t) {
   BatchSlot& slot = ring[t.ring_slot];
   float* out = slot.buf.data() + int64_t(t.slot_in_batch) * sample_floats();
   if (t.sample < 0) {
@@ -652,7 +686,14 @@ int64_t vml_batch_floats(void* h) {
 }
 
 const char* vml_last_error(void* h) {
-  return static_cast<Loader*>(h)->last_error.c_str();
+  // Workers may mutate last_error concurrently via set_error; snapshot it
+  // under the lock into a stable per-loader buffer so the returned pointer
+  // never dangles or tears.
+  auto* ld = static_cast<Loader*>(h);
+  std::lock_guard<std::mutex> l(ld->mu);
+  snprintf(ld->err_snapshot, sizeof(ld->err_snapshot), "%s",
+           ld->last_error.c_str());
+  return ld->err_snapshot;
 }
 
 void vml_destroy(void* h) {

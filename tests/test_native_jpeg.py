@@ -138,3 +138,71 @@ def test_truncated_jpeg_errors(tmp_path):
     with pytest.raises(RuntimeError, match="jpeg decode failed"):
         list(ld.epoch())
     ld.close()
+
+
+def _expect_decode_error(tmp_path, payload: bytes, name: str):
+    p = tmp_path / name
+    nat.write_vmjpg(p, [payload], H, W)
+    ld = nat.NativeClipLoader([str(p)], clip_len=1, crop=8, batch_size=1)
+    with pytest.raises(RuntimeError):
+        list(ld.epoch())
+    ld.close()
+
+
+def test_malformed_segments_never_crash(tmp_path):
+    """Crafted/truncated segments must fail cleanly, not read out of
+    bounds (ADVICE round-1 high: heap overflow on truncated DQT)."""
+    cases = {
+        # 7-byte JPEG with a truncated DQT segment (ASAN repro from ADVICE).
+        "dqt_trunc.vmjpg": bytes([0xFF, 0xD8, 0xFF, 0xDB, 0x00, 0x03, 0x00]),
+        # DQT declaring a 16-bit table but segment too short for 64 u16s.
+        "dqt_short16.vmjpg": bytes([0xFF, 0xD8, 0xFF, 0xDB, 0x00, 0x05, 0x10,
+                                    0x01, 0x02]),
+        # DHT with counts summing past the segment end.
+        "dht_counts.vmjpg": bytes([0xFF, 0xD8, 0xFF, 0xC4, 0x00, 0x15, 0x00]
+                                  + [0xFF] * 16 + [0x01, 0x02]),
+        # SOF0 segment shorter than its component list claims.
+        "sof_short.vmjpg": bytes([0xFF, 0xD8, 0xFF, 0xC0, 0x00, 0x08, 0x08,
+                                  0x00, 0x10, 0x00, 0x10, 0x03]),
+        # SOS with truncated component spec.
+        "sos_short.vmjpg": bytes([0xFF, 0xD8,
+                                  0xFF, 0xC0, 0x00, 0x0B, 0x08, 0x00, 0x08,
+                                  0x00, 0x08, 0x01, 0x01, 0x11, 0x00,
+                                  0xFF, 0xDA, 0x00, 0x03, 0x01]),
+        # Segment length < 2 (would compute a negative segment end).
+        "seglen_zero.vmjpg": bytes([0xFF, 0xD8, 0xFF, 0xDB, 0x00, 0x00]),
+    }
+    for name, payload in cases.items():
+        _expect_decode_error(tmp_path, payload, name)
+
+
+def test_huge_dc_size_symbol_rejected(tmp_path):
+    """A Huffman table whose only DC symbol is 0xFF (magnitude category 255)
+    must be rejected before read_bits(255) executes UB (ADVICE medium)."""
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(0xDB, bytes([0x00] + [1] * 64))
+    sof = seg(0xC0, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    # one 1-bit DC code -> symbol 0xFF; one 1-bit AC code -> symbol 0x00 (EOB)
+    dht_dc = seg(0xC4, bytes([0x00, 1] + [0] * 15 + [0xFF]))
+    dht_ac = seg(0xC4, bytes([0x10, 1] + [0] * 15 + [0x00]))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    scan = bytes([0x00, 0xFF, 0xD9])
+    payload = bytes([0xFF, 0xD8]) + dqt + sof + dht_dc + dht_ac + sos + scan
+    _expect_decode_error(tmp_path, payload, "dc255.vmjpg")
+
+
+def test_corrupt_shard_offsets_rejected(tmp_path):
+    """VMJPG001 offsets past the file size must be rejected at header parse
+    (ADVICE medium: jbuf.resize(huge) would std::terminate a worker)."""
+    import struct
+
+    p = tmp_path / "hugeoff.vmjpg"
+    with open(p, "wb") as f:
+        f.write(b"VMJPG001")
+        f.write(struct.pack("<4I", 1, H, W, 3))
+        f.write(np.array([0, 1 << 40], np.uint64).tobytes())
+        f.write(b"\xff\xd8\xff\xd9")
+    with pytest.raises(RuntimeError, match="exceed file size"):
+        nat.NativeClipLoader([str(p)], clip_len=1, crop=8, batch_size=1)
