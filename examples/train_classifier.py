@@ -70,8 +70,13 @@ def main(argv=None):
     parser.add_argument("--lr", type=float, default=3e-3)
     parser.add_argument("--cpu-devices", type=int, default=0)
     parser.add_argument("--data-dir", default=None,
-                        help="directory of .vmjpg/.vraw/.npy shards named "
-                             "c<label>_*.ext (synthesized when omitted)")
+                        help="dataset root: either class subdirectories "
+                             "(root/<class>/<clip>.{vmjpg,vraw,npy}) or a "
+                             "flat directory of shards named c<label>_*.ext "
+                             "(synthesized when omitted)")
+    parser.add_argument("--file-list", default=None,
+                        help="Kinetics-style annotation file: one "
+                             "'<path> <label>' per line")
     parser.add_argument("--ckpt-dir", default=None)
     args = parser.parse_args(argv)
 
@@ -90,12 +95,31 @@ def main(argv=None):
     from videomamba_tpu.parallel.mesh import replicated, shard_params
 
     # --- data ---------------------------------------------------------
+    from videomamba_tpu.data.dataset import (
+        load_file_list,
+        scan_class_directories,
+    )
+
     data_dir = args.data_dir or tempfile.mkdtemp(prefix="vm_clf_")
-    if args.data_dir:
-        paths = sorted(
-            os.path.join(data_dir, f) for f in os.listdir(data_dir)
-            if f.split(".")[-1] in {"vmjpg", "vraw", "npy"})
-        labels = [int(os.path.basename(p).split("_")[0][1:]) for p in paths]
+    if args.file_list:
+        paths, labels = load_file_list(args.file_list)
+        args.classes = max(labels) + 1
+        print(f"file list: {len(paths)} samples, {args.classes} classes")
+    elif args.data_dir:
+        has_subdirs = any(
+            e.is_dir() for e in os.scandir(data_dir) if not e.name.startswith(".")
+        )
+        if has_subdirs:
+            paths, labels, class_names = scan_class_directories(data_dir)
+            args.classes = len(class_names)
+            print(f"class dirs: {len(paths)} samples, "
+                  f"{args.classes} classes {class_names[:8]}")
+        else:
+            # Legacy flat layout: shards named c<label>_*.ext.
+            paths = sorted(
+                os.path.join(data_dir, f) for f in os.listdir(data_dir)
+                if f.split(".")[-1] in {"vmjpg", "vraw", "npy"})
+            labels = [int(os.path.basename(p).split("_")[0][1:]) for p in paths]
     else:
         paths, labels = synthesize_dataset(
             data_dir, n_classes=args.classes, hw=args.img)

@@ -1,6 +1,8 @@
 """Data helpers: mask generators satisfy the model contract; chunk iteration
 stitches back to the full streaming run."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -89,3 +91,98 @@ def test_iter_video_chunks_streams_to_full_equivalence():
     np.testing.assert_allclose(
         np.asarray(stitched), np.asarray(full), rtol=1e-4, atol=1e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset ingestion: file lists and class-directory layouts.
+# ---------------------------------------------------------------------------
+
+from videomamba_tpu.data.dataset import (  # noqa: E402
+    load_file_list,
+    make_clip_loader,
+    scan_class_directories,
+)
+
+
+def _write_tree(tmp_path, classes=("jump", "run"), per_class=2, T=6, hw=20):
+    from videomamba_tpu.data import native as nat
+
+    rng = np.random.default_rng(0)
+    for name in classes:
+        d = tmp_path / name
+        d.mkdir()
+        for i in range(per_class):
+            vid = rng.integers(0, 256, (T, hw, hw, 3), dtype=np.uint8)
+            nat.write_vraw(d / f"clip{i}.vraw", vid)
+    return tmp_path
+
+
+def test_scan_class_directories(tmp_path):
+    root = _write_tree(tmp_path)
+    paths, labels, names = scan_class_directories(root)
+    assert names == ["jump", "run"]  # sorted
+    assert len(paths) == 4
+    assert labels == [0, 0, 1, 1]
+    assert all(p.endswith(".vraw") for p in paths)
+
+
+def test_scan_class_directories_rejects_empty(tmp_path):
+    (tmp_path / "empty_class").mkdir()
+    with pytest.raises(ValueError, match="no clip files"):
+        scan_class_directories(tmp_path)
+
+
+def test_load_file_list(tmp_path):
+    root = _write_tree(tmp_path)
+    paths, labels, _ = scan_class_directories(root)
+    lst = tmp_path / "train.txt"
+    lines = ["# comment", ""]
+    lines += [f"{p} {l}" for p, l in zip(paths[:2], labels[:2])]
+    # comma-separated + relative-path forms
+    rel = str(Path(paths[2]).relative_to(tmp_path))
+    lines.append(f"{rel},{labels[2]}")
+    lst.write_text("\n".join(lines))
+    got_paths, got_labels = load_file_list(lst)
+    assert got_labels == labels[:3]
+    assert got_paths[2] == paths[2]  # relative resolved against list dir
+
+
+def test_load_file_list_rejects_bad_lines(tmp_path):
+    lst = tmp_path / "bad.txt"
+    lst.write_text("just_a_path_no_label\n")
+    with pytest.raises(ValueError, match="expected"):
+        load_file_list(lst)
+    lst.write_text("p.vraw notanint\n")
+    with pytest.raises(ValueError, match="not an int"):
+        load_file_list(lst)
+
+
+@pytest.mark.skipif(
+    not pytest.importorskip("videomamba_tpu.data.native").native_available(),
+    reason="native loader unavailable",
+)
+def test_make_clip_loader_deterministic_batches(tmp_path):
+    """Directory-layout ingestion feeds the native loader; (seed, epoch)
+    fully determines batches (bit-exact across independent loaders)."""
+    root = _write_tree(tmp_path, per_class=3, T=8, hw=24)
+    kw = dict(clip_len=4, crop=16, batch_size=2, num_threads=3)
+
+    loader1, n_cls = make_clip_loader(data_dir=root, train=True, **kw)
+    loader2, _ = make_clip_loader(data_dir=root, train=True, **kw)
+    assert n_cls == 2
+
+    b1 = list(loader1.epoch(seed=7, shuffle=True, epoch=0))
+    b2 = list(loader2.epoch(seed=7, shuffle=True, epoch=0))
+    assert len(b1) == len(b2) > 0
+    for (c1, l1), (c2, l2) in zip(b1, b2):
+        np.testing.assert_array_equal(c1, c2)
+        np.testing.assert_array_equal(l1, l2)
+    assert {int(l) for _, ls in b1 for l in ls} <= {0, 1}
+    loader1.close(); loader2.close()
+
+
+def test_make_clip_loader_requires_exactly_one_source(tmp_path):
+    with pytest.raises(ValueError, match="exactly one"):
+        make_clip_loader()
+    with pytest.raises(ValueError, match="exactly one"):
+        make_clip_loader(data_dir=tmp_path, file_list=tmp_path / "x.txt")

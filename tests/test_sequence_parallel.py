@@ -77,3 +77,107 @@ def test_sequence_parallel_without_optionals(mesh):
 
     got, _ = run(u, delta, B, C)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Mixer-level integration: Mamba(sp_axis=...) inside shard_map.
+# ---------------------------------------------------------------------------
+
+from videomamba_tpu.models.mamba import Mamba  # noqa: E402
+
+
+def _mixer_pair(d_model=16, d_state=8, seed=3):
+    base = Mamba(d_model=d_model, d_state=d_state, use_fast_path=False)
+    sp = Mamba(d_model=d_model, d_state=d_state, use_fast_path=False,
+               sp_axis="sp")
+    params = base.init(jax.random.PRNGKey(seed))
+    return base, sp, params
+
+
+def _sp_call(mesh, sp, params, x, **kw):
+    fn = jax.shard_map(
+        lambda p, xx: sp(p, xx, **kw),
+        mesh=mesh,
+        in_specs=(P(), P(None, "sp")),
+        out_specs=(P(None, "sp"), (P(), P())) if kw.get("return_state")
+        else P(None, "sp"),
+        check_vma=False,
+    )
+    return fn(params, x)
+
+
+def test_sp_mixer_three_way_parity(mesh):
+    """full == chunked-streaming == sequence-parallel, all at 1e-5."""
+    base, sp, params = _mixer_pair()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 16), jnp.float32)
+
+    full = base(params, x)
+
+    # Chunked streaming with carried state.
+    state = base.allocate_state(2)
+    c1, state = base(params, x[:, :32], state=state, return_state=True)
+    c2, state = base(params, x[:, 32:], state=state, return_state=True)
+    chunked = jnp.concatenate([c1, c2], axis=1)
+
+    sp_out = jax.jit(lambda p, xx: _sp_call(mesh, sp, p, xx))(params, x)
+
+    np.testing.assert_allclose(
+        np.asarray(chunked), np.asarray(full), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(sp_out), np.asarray(full), rtol=1e-5, atol=1e-5)
+
+
+def test_sp_mixer_state_carry_matches_streaming(mesh):
+    """SP with incoming state returns the same output AND state as streaming."""
+    base, sp, params = _mixer_pair()
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 16), jnp.float32)
+    warm = jax.random.normal(jax.random.PRNGKey(2), (1, 24, 16), jnp.float32)
+
+    state0 = base.allocate_state(1)
+    _, state = base(params, warm, state=state0, return_state=True)
+
+    want, (want_conv, want_ssm) = base(params, x, state=state,
+                                       return_state=True)
+
+    got, (got_conv, got_ssm) = jax.jit(
+        lambda p, xx, st: _sp_call(mesh, sp, p, xx, state=st,
+                                   return_state=True)
+    )(params, x, state)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_conv), np.asarray(want_conv),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_ssm), np.asarray(want_ssm),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sp_mixer_gradients_match_single_device(mesh):
+    """jax.grad through the shard_map == single-device grads (params AND x)."""
+    base, sp, params = _mixer_pair()
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 64, 16), jnp.float32)
+
+    def loss_single(p, xx):
+        out = base(p, xx)
+        return jnp.sum(out * jnp.cos(out.astype(jnp.float32)))
+
+    def loss_sp(p, xx):
+        out = _sp_call(mesh, sp, p, xx)
+        return jnp.sum(out * jnp.cos(out.astype(jnp.float32)))
+
+    g_want = jax.grad(loss_single, argnums=(0, 1))(params, x)
+    g_got = jax.jit(jax.grad(loss_sp, argnums=(0, 1)))(params, x)
+
+    flat_want = jax.tree_util.tree_leaves(g_want)
+    flat_got = jax.tree_util.tree_leaves(g_got)
+    assert len(flat_want) == len(flat_got)
+    for a, b in zip(flat_got, flat_want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_sp_mixer_rejects_short_shards(mesh):
+    _, sp, params = _mixer_pair()
+    x = jnp.zeros((1, 16, 16), jnp.float32)  # 2 per shard < d_conv=4
+    with pytest.raises(ValueError, match="d_conv"):
+        _sp_call(mesh, sp, params, x)

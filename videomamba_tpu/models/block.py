@@ -229,6 +229,8 @@ class Block:
         in/out-proj biases (the reference default) + VMEM-sized weights."""
         if not (self.fused_add_norm and self.mixer.use_fast_path):
             return False
+        if self.mixer.sp_axis is not None:
+            return False  # sequence-parallel route owns the mixer call
         if self.mixer.scan_method != "pallas":
             return False
         mx = params["mixer"]

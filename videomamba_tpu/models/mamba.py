@@ -225,6 +225,7 @@ class Mamba:
     layer_idx: Optional[int] = None
     bimamba: bool = True
     scan_chunk_size: int = 64
+    sp_axis: Optional[str] = None
 
     def __post_init__(self):
         if _fused_disabled_by_env() and self.use_fast_path:
@@ -333,6 +334,24 @@ class Mamba:
             raise ValueError("Pass either state or ssm_state, not both.")
         if inference_params is not None and state is not None:
             raise ValueError("state is not supported with inference_params.")
+
+        if self.sp_axis is not None:
+            # Sequence-parallel route: hidden_states is the local time shard
+            # of a shard_map over mesh axis ``sp_axis``. Cross-shard conv
+            # halos and the recurrence combine live in parallel.sequence.
+            if inference_params is not None:
+                raise ValueError(
+                    "inference_params is not supported under sequence "
+                    "parallelism; decode on a single shard."
+                )
+            from videomamba_tpu.parallel.sequence import sequence_parallel_mixer
+
+            return sequence_parallel_mixer(
+                self, params, hidden_states,
+                axis_name=self.sp_axis, state=state,
+                return_state=return_state, ssm_state=ssm_state,
+                method=self.scan_method,
+            )
 
         bsz, seqlen, _ = hidden_states.shape
 

@@ -88,10 +88,6 @@ def _scan_kernel(
     def _():
         h_scratch[:] = h0_ref[0]
 
-    if checkpoints:
-        # Block-entry state: free residual for the Pallas backward.
-        hckpt_ref[0, 0] = h_scratch[:]
-
     # Vectorized block precompute (all f32), staged in VMEM scratch so the
     # time loop can take pl.ds row views (Mosaic has no array dynamic_slice).
     delta = delta_ref[0].astype(jnp.float32) + dbias_ref[0][None, :]

@@ -23,7 +23,7 @@ Use inside ``jax.shard_map`` with ``u/delta/B/C/z`` sharded on axis 1.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Dict, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +35,8 @@ from videomamba_tpu.ops.selective_scan import (
 )
 
 Array = jax.Array
+Params = Dict[str, Any]
+LayerState = Tuple[Array, Array]
 
 
 def sequence_parallel_scan(
@@ -144,3 +146,115 @@ def sequence_parallel_scan(
         zf = z.astype(jnp.float32)
         out = out * (zf * jax.nn.sigmoid(zf))
     return out.astype(dtype_in), h_last_global
+
+
+def sequence_parallel_mixer(
+    mixer,
+    params: Params,
+    hidden_states: Array,
+    axis_name: str = "sp",
+    state: Optional[LayerState] = None,
+    return_state: bool = False,
+    ssm_state: Optional[Array] = None,
+    method: Optional[str] = None,
+) -> Union[Array, Tuple[Array, LayerState]]:
+    """Full Mamba mixer over a time-sharded sequence (call inside shard_map).
+
+    The device-local pieces (in_proj, depthwise conv, x/dt projections,
+    gate, out_proj) run unmodified on each shard; the two cross-shard
+    couplings are handled explicitly:
+
+    * conv halo — each shard's last ``d_conv`` raw conv inputs ride one
+      ``lax.ppermute`` hop to the next shard, which uses them as its carried
+      conv window (shard 0 takes the streaming ``conv_state`` or zeros);
+    * the recurrence — :func:`sequence_parallel_scan` (one all-gather of
+      (segment_decay, h_local) pairs per layer, O(1) in L).
+
+    Same contract as ``Mamba.__call__`` with ``hidden_states`` being the
+    local (B, L/sp, d_model) shard: returns ``out`` or
+    ``(out, (new_conv_state, new_ssm_state))`` where the returned states are
+    the *global-sequence* states, replicated across the sp axis (so chunked
+    streaming can resume from them on any layout).
+
+    Autodiff: every cross-shard op (ppermute, all_gather, the static-length
+    combine loop) is reverse-differentiable; gradients match the
+    single-device mixer (tested in tests/test_sequence_parallel.py).
+    """
+    conv_state = None
+    if state is not None:
+        conv_state, ssm_state = state
+
+    w = params["conv1d"]["weight"].shape[0]
+    l_loc = hidden_states.shape[1]
+    if l_loc < w:
+        raise ValueError(
+            f"sequence-parallel shard length {l_loc} must be >= d_conv {w}"
+        )
+
+    xz = hidden_states @ params["in_proj"]["kernel"]
+    if "bias" in params["in_proj"]:
+        xz = xz + params["in_proj"]["bias"]
+    x, z = jnp.split(xz, 2, axis=-1)
+
+    # Conv halo: my last-w-inputs window -> next shard's carried window.
+    num = lax.axis_size(axis_name)
+    local_window = x[:, -w:].swapaxes(1, 2)  # (B, d_inner, w)
+    if num > 1:
+        perm = [(i, i + 1) for i in range(num - 1)]
+        prev_window = lax.ppermute(local_window, axis_name, perm)
+    else:
+        prev_window = jnp.zeros_like(local_window)
+    if conv_state is not None:
+        is_first = lax.axis_index(axis_name) == 0
+        prev_window = jnp.where(
+            is_first, conv_state.astype(prev_window.dtype), prev_window
+        )
+
+    from videomamba_tpu.ops.causal_conv1d import causal_conv1d
+
+    conv_out = causal_conv1d(
+        x,
+        params["conv1d"]["weight"],
+        params["conv1d"].get("bias"),
+        activation="silu",
+        initial_state=prev_window,
+    )
+
+    x_dbl = conv_out @ params["x_proj"]["kernel"]
+    r, n = mixer.dt_rank_, mixer.d_state
+    dt = x_dbl[..., :r] @ params["dt_proj"]["kernel"]
+    B_ssm = x_dbl[..., r:r + n]
+    C_ssm = x_dbl[..., r + n:]
+    A = -jnp.exp(params["A_log"].astype(jnp.float32))
+
+    y, h_last = sequence_parallel_scan(
+        conv_out,
+        dt,
+        A,
+        B_ssm,
+        C_ssm,
+        D=params["D"].astype(jnp.float32),
+        z=z,
+        delta_bias=params["dt_proj"]["bias"].astype(jnp.float32),
+        delta_softplus=True,
+        initial_state=ssm_state,
+        axis_name=axis_name,
+        method=method or "chunked",
+    )
+
+    out = y @ params["out_proj"]["kernel"]
+    if "bias" in params["out_proj"]:
+        out = out + params["out_proj"]["bias"]
+
+    if not return_state:
+        return out
+
+    # Global-sequence states, replicated: conv window of the LAST shard,
+    # h_last is already replicated by the scan's combine.
+    new_conv_state = lax.all_gather(local_window, axis_name)[num - 1]
+    if conv_state is not None:
+        new_conv_state = new_conv_state.astype(conv_state.dtype)
+    new_ssm_state = (
+        h_last.astype(ssm_state.dtype) if ssm_state is not None else h_last
+    )
+    return out, (new_conv_state, new_ssm_state)
