@@ -14,23 +14,36 @@ N values to cancel the fixed round-trip overhead. Verified against hardware
 peak (dependent 8192^3 bf16 matmul chain measures ~172 TFLOP/s on v5e,
 consistent with the 197 TFLOP/s spec).
 
-Extra fields: Tiny/Base streaming tokens/sec, p50 chunk latency, full-clip
-clips/sec, chunked-vs-full feature rel-err (driver bar <=1e-3).
+Extra fields: Tiny/Base streaming tokens/sec, chunk latency (mean and p50 —
+see latency methodology below), MFU, full-clip clips/sec, chunked-vs-full
+feature rel-err (driver bar <=1e-3).
+
+Latency methodology: per-iteration boundaries are not observable through the
+async dispatch tunnel, so `*_chunk_latency_ms` is the per-iteration MEAN of a
+dependent chain and `*_chunk_latency_p50_ms` is the MEDIAN over independent
+chain samples (each sample itself a per-chain mean). MFU fields divide an
+analytic FLOP count (matmuls + scan; 1 FLOP per transcendental) by measured
+time and the chip's bf16 peak (VIDEOMAMBA_PEAK_TFLOPS, default 197 = v5e).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
+PEAK_FLOPS = float(os.getenv("VIDEOMAMBA_PEAK_TFLOPS", "197")) * 1e12
 
-def _chain_seconds_per_iter(step_fn, carry0, xs=(), n_small=2, n_big=10, repeats=2):
-    """Median seconds/iter of a dependent chain, differencing two lengths.
 
-    ``xs`` (weights, inputs) are passed as jit ARGUMENTS — closing over large
-    arrays would embed them as compile-time constants, which both bloats the
-    compile payload and lets XLA pre-fold work, distorting the measurement.
+def _chain_samples(step_fn, carry0, xs=(), n_small=2, n_big=10, repeats=2):
+    """Per-iteration seconds of a dependent chain, one sample per repeat.
+
+    Each sample differences two chain lengths to cancel the fixed dispatch
+    round-trip. ``xs`` (weights, inputs) are passed as jit ARGUMENTS —
+    closing over large arrays would embed them as compile-time constants,
+    which both bloats the compile payload and lets XLA pre-fold work,
+    distorting the measurement.
     """
     import jax
     import jax.numpy as jnp
@@ -51,9 +64,44 @@ def _chain_seconds_per_iter(step_fn, carry0, xs=(), n_small=2, n_big=10, repeats
         t1 = time.perf_counter()
         jax.device_get(run(carry0, n_small, *xs))
         t2 = time.perf_counter()
-        samples.append(((t1 - t0) - (t2 - t1)) / (n_big - n_small))
-    samples.sort()
-    return max(samples[len(samples) // 2], 1e-9)
+        samples.append(
+            max(((t1 - t0) - (t2 - t1)) / (n_big - n_small), 1e-9)
+        )
+    return samples
+
+
+def _chain_seconds_per_iter(step_fn, carry0, xs=(), n_small=2, n_big=10, repeats=2):
+    """Median-sample per-iteration seconds of a dependent chain."""
+    samples = sorted(
+        _chain_samples(step_fn, carry0, xs, n_small, n_big, repeats)
+    )
+    return samples[len(samples) // 2]
+
+
+def model_forward_flops(model, batch_size, num_tokens):
+    """Analytic forward FLOPs: matmuls + conv + scan (transcendentals as 1).
+
+    Counts the per-layer mixer (in_proj, depthwise conv, x/dt projections,
+    selective scan ~6*N*Di/token, gate, out_proj), the patch embedding
+    matmul, and norms. Dominated by the in/out projections, so this is the
+    MXU-relevant number for MFU.
+    """
+    T = batch_size * num_tokens
+    d = model.embed_dim
+    mix = model.layers[0].mixer
+    di, r, n, w = mix.d_inner, mix.dt_rank_, mix.d_state, mix.d_conv
+    per_layer = (
+        2 * T * d * 2 * di          # in_proj
+        + 2 * T * di * w            # depthwise conv
+        + 2 * T * di * (r + 2 * n)  # x_proj
+        + 2 * T * r * di            # dt_proj
+        + 6 * T * n * di            # selective scan
+        + 4 * T * di                # softplus/gate epilogue
+        + 2 * T * di * d            # out_proj
+        + 10 * T * d                # add + norm
+    )
+    patch = 2 * T * model.patch_embed.patch_dim * d
+    return model.depth * per_layer + patch
 
 
 def bench_streaming(preset_fn, name, chunk_frames, batch_size, dtype_name, quick):
@@ -82,16 +130,20 @@ def bench_streaming(preset_fn, name, chunk_frames, batch_size, dtype_name, quick
         )
         return new_state, jnp.mean(out).astype(jnp.float32)
 
-    sec = _chain_seconds_per_iter(
+    samples = sorted(_chain_samples(
         step, (state0, jnp.zeros((), jnp.float32)), xs=(chunk, params),
-        n_small=1, n_big=4 if quick else 10,
-    )
+        n_small=1, n_big=4 if quick else 10, repeats=2 if quick else 5,
+    ))
+    sec = samples[len(samples) // 2]
     frames = batch_size * chunk_frames
     tokens_per_frame = (224 // 16) * (224 // 16)
+    flops = model_forward_flops(model, batch_size, chunk_frames * tokens_per_frame)
     return {
         f"{name}_frames_per_sec": frames / sec,
         f"{name}_tokens_per_sec": frames * tokens_per_frame / sec,
-        f"{name}_p50_chunk_latency_ms": sec * 1e3,
+        f"{name}_chunk_latency_ms": (sum(samples) / len(samples)) * 1e3,
+        f"{name}_chunk_latency_p50_ms": sec * 1e3,
+        f"{name}_mfu": flops / sec / PEAK_FLOPS,
     }
 
 
@@ -117,7 +169,12 @@ def bench_full_clip(preset_fn, name, num_frames, batch_size, dtype_name, quick):
         step, jnp.zeros((), jnp.float32), xs=(x, params),
         n_small=1, n_big=3 if quick else 6,
     )
-    return {f"{name}_clips_per_sec": batch_size / sec}
+    tokens = 1 + num_frames * (224 // 16) * (224 // 16)
+    flops = model_forward_flops(model, batch_size, tokens)
+    return {
+        f"{name}_clips_per_sec": batch_size / sec,
+        f"{name}_mfu": flops / sec / PEAK_FLOPS,
+    }
 
 
 def bench_train_step(preset_fn, name, num_frames, batch_size, quick):
@@ -155,9 +212,13 @@ def bench_train_step(preset_fn, name, num_frames, batch_size, quick):
     sec = _chain_seconds_per_iter(
         step, carry0, xs=(video, target, jax.random.PRNGKey(1)),
         n_small=1, n_big=4 if quick else 10, repeats=2)
+    # Train step ~= 3x forward FLOPs (bwd ~2x fwd; optimizer negligible).
+    tokens = 1 + num_frames * (224 // 16) * (224 // 16)
+    flops = 3 * model_forward_flops(model, batch_size, tokens)
     return {
         f"{name}_clips_per_sec": batch_size / sec,
         f"{name}_step_ms": sec * 1e3,
+        f"{name}_mfu": flops / sec / PEAK_FLOPS,
     }
 
 

@@ -33,6 +33,9 @@ def _silu(y):
     return y * (1.0 / (1.0 + np.exp(-y)))
 
 
+@pytest.mark.slow
+
+
 def test_matches_numpy_oracle():
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 3)

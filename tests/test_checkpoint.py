@@ -37,6 +37,9 @@ def _small_model(**overrides):
     return PretrainVideoMamba(**kwargs)
 
 
+@pytest.mark.slow
+
+
 def test_torch_state_dict_round_trip(tmp_path):
     src = _small_model(rng=1)
     ckpt = tmp_path / "sd.pt"
@@ -52,6 +55,9 @@ def test_torch_state_dict_round_trip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(out_after), np.asarray(out_src), rtol=1e-6, atol=1e-6
     )
+
+
+@pytest.mark.slow
 
 
 def test_rejects_wrapped_checkpoint(tmp_path):
@@ -156,6 +162,9 @@ def test_native_save_load_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
+
+
 def test_build_videomamba_with_pretrained(tmp_path):
     from types import SimpleNamespace
 
@@ -181,3 +190,105 @@ def test_build_videomamba_with_pretrained(tmp_path):
     np.testing.assert_allclose(
         np.asarray(model(x)[0]), np.asarray(reference(x)[0]), rtol=1e-6, atol=1e-6
     )
+
+
+# ---------------------------------------------------------------------------
+# timm .npz loading (reference load_pretrained -> timm _load_weights subset).
+# ---------------------------------------------------------------------------
+
+def _timm_npz(tmp_path, grid=2, embed=16, patch=4, with_blocks=True):
+    """Generate a tiny npz with timm _load_weights key names."""
+    rng = np.random.default_rng(0)
+    arrs = {
+        "embedding/kernel": rng.normal(size=(patch, patch, 3, embed)).astype(np.float32),
+        "embedding/bias": rng.normal(size=(embed,)).astype(np.float32),
+        "cls": rng.normal(size=(1, 1, embed)).astype(np.float32),
+        "Transformer/posembed_input/pos_embedding":
+            rng.normal(size=(1, 1 + grid * grid, embed)).astype(np.float32),
+        "Transformer/encoder_norm/scale": rng.normal(size=(embed,)).astype(np.float32),
+        "Transformer/encoder_norm/bias": rng.normal(size=(embed,)).astype(np.float32),
+    }
+    if with_blocks:
+        # ViT encoder blocks + head: no VideoMamba counterpart.
+        arrs["Transformer/encoderblock_0/LayerNorm_0/scale"] = (
+            np.ones(embed, np.float32))
+        arrs["head/kernel"] = rng.normal(size=(embed, 10)).astype(np.float32)
+    path = tmp_path / "vit.npz"
+    np.savez(str(path), **arrs)
+    return path, arrs
+
+
+def _tiny_vit_model(num_frames=2, img=8):
+    return PretrainVideoMamba(
+        img_size=img, patch_size=4, depth=2, embed_dim=16, channels=3,
+        ssm_cfg={"use_fast_path": False, "d_state": 8}, fused_add_norm=False,
+        rms_norm=False, residual_in_fp32=False, kernel_size=2,
+        num_frames=num_frames, add_pool_norm=False, rng=0,
+    )
+
+
+def test_load_timm_npz_maps_vit_subset(tmp_path):
+    from videomamba_tpu.checkpoint import load_timm_npz
+
+    model = _tiny_vit_model()
+    path, arrs = _timm_npz(tmp_path)
+    with pytest.warns(UserWarning, match="encoderblock_0"):
+        params = load_timm_npz(str(path), model)
+
+    # Patch kernel: (p,p,C,E) -> transpose to (C,p,p,E), broadcast over the
+    # tubelet axis divided by kt, flattened to (patch_dim, E).
+    kt = model.patch_embed.tubelet_size
+    k2d = np.transpose(arrs["embedding/kernel"], (2, 0, 1, 3))
+    want = np.repeat(k2d[:, None], kt, axis=1).reshape(-1, 16) / kt
+    np.testing.assert_allclose(np.asarray(params["patch_embed"]["kernel"]),
+                               want, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(params["patch_embed"]["bias"]),
+                               arrs["embedding/bias"], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(params["cls_token"]),
+                               arrs["cls"], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(params["pos_embed"]),
+        arrs["Transformer/posembed_input/pos_embedding"], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(params["norm"]["weight"]),
+                               arrs["Transformer/encoder_norm/scale"], rtol=1e-6)
+
+    # The tubelet-broadcast kernel must reproduce the 2D conv on a
+    # frame-constant clip: summing kt identical frames / kt == 2D embed.
+    x2d = np.random.default_rng(1).normal(
+        size=(1, 3, 1, 8, 8)).astype(np.float32)
+    clip = np.repeat(x2d, kt, axis=2)
+    model.params = params
+    toks = model.patch_embed(params["patch_embed"], jnp.asarray(clip))
+    ref = np.einsum(
+        "bchw,hwce->be",
+        x2d[:, :, 0, :4, :4], arrs["embedding/kernel"],
+    ) + arrs["embedding/bias"]
+    np.testing.assert_allclose(np.asarray(toks[0, 0, 0]), ref[0],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_load_timm_npz_resamples_pos_grid(tmp_path):
+    from videomamba_tpu.checkpoint import load_timm_npz
+    from videomamba_tpu.ops.resample import cubic_resample_matrix
+
+    model = _tiny_vit_model(img=8)             # model grid 2x2
+    path, arrs = _timm_npz(tmp_path, grid=3, with_blocks=False)  # ckpt 3x3
+    params = load_timm_npz(str(path), model, on_unmapped="error")
+
+    pos = arrs["Transformer/posembed_input/pos_embedding"]
+    grid_tokens = pos[:, 1:].reshape(1, 3, 3, 16)
+    w = cubic_resample_matrix(3, 2)
+    want = np.einsum("oh,bhwc->bowc", w, grid_tokens)
+    want = np.einsum("pw,bowc->bopc", w, want).reshape(1, 4, 16)
+    got = np.asarray(params["pos_embed"])
+    np.testing.assert_allclose(got[:, :1], pos[:, :1], rtol=1e-6)
+    np.testing.assert_allclose(got[:, 1:], want, rtol=1e-5, atol=1e-6)
+
+
+def test_load_timm_npz_on_unmapped_error(tmp_path):
+    from videomamba_tpu.checkpoint import load_timm_npz
+
+    model = _tiny_vit_model()
+    path, _ = _timm_npz(tmp_path, with_blocks=True)
+    with pytest.raises(ValueError, match="no VideoMamba counterpart"):
+        load_timm_npz(str(path), model, on_unmapped="error")

@@ -16,6 +16,9 @@ if not nat.native_available():  # pragma: no cover - g++ is in the image
     pytest.skip("native loader unavailable", allow_module_level=True)
 
 
+@pytest.mark.slow
+
+
 def test_train_classifier_end_to_end(tmp_path, capsys):
     from train_classifier import main
 

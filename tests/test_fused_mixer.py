@@ -57,6 +57,9 @@ def test_streaming_chunked_equals_full(setup):
     assert conv.dtype == state[0].dtype and ssm.dtype == state[1].dtype
 
 
+@pytest.mark.slow
+
+
 def test_gradients_match_composed(setup):
     fused, composed, params, x = setup
 
@@ -78,6 +81,9 @@ def test_gradients_match_composed(setup):
             err_msg=f"param grad mismatch at {jax.tree_util.keystr(kp)}",
         )
     np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_x), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
 
 
 def test_unsupported_width_falls_back(setup):

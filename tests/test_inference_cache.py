@@ -34,6 +34,9 @@ def test_inference_cache_resizes_when_batch_size_changes(mixer_and_params):
     assert ssm_state.shape[0] == 1
 
 
+@pytest.mark.slow
+
+
 def test_prefill_then_steps_matches_batch_forward(mixer_and_params):
     """Prefill a prefix through the cache, decode the rest token-by-token;
     must equal one full batch forward."""

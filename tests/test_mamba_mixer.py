@@ -19,6 +19,9 @@ def mixer_and_params():
     return mixer, params
 
 
+@pytest.mark.slow
+
+
 def test_chunked_equals_full_layer_level(mixer_and_params):
     mixer, params = mixer_and_params
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 12, 16), jnp.float32)
@@ -33,6 +36,9 @@ def test_chunked_equals_full_layer_level(mixer_and_params):
     np.testing.assert_allclose(
         np.asarray(stitched), np.asarray(out_full), rtol=1e-4, atol=1e-4
     )
+
+
+@pytest.mark.slow
 
 
 def test_three_way_chunking_with_allocated_state(mixer_and_params):
@@ -84,6 +90,9 @@ def test_ssm_state_only_path(mixer_and_params):
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
+
+
 def test_decode_step_matches_batch_forward(mixer_and_params):
     mixer, params = mixer_and_params
     x = jax.random.normal(jax.random.PRNGKey(4), (2, 5, 16), jnp.float32)
@@ -100,6 +109,9 @@ def test_decode_step_matches_batch_forward(mixer_and_params):
     np.testing.assert_allclose(
         np.asarray(stepped), np.asarray(out_full), rtol=1e-4, atol=1e-4
     )
+
+
+@pytest.mark.slow
 
 
 def test_gradients_flow_through_streaming_path(mixer_and_params):
@@ -165,6 +177,8 @@ class TestBlock:
         out_with = block(params, x, state=state, return_state=True)
         assert len(out_without) == 2
         assert len(out_with) == 3
+
+    @pytest.mark.slow
 
     def test_block_chunked_equals_full(self):
         block = self._block(rms_norm=True, fused_add_norm=True, residual_in_fp32=True)

@@ -25,6 +25,9 @@ def _model(fast, params=None):
     )
 
 
+@pytest.mark.slow
+
+
 def test_full_model_fast_path_matches_composed():
     slow = _model(False)
     fast = _model(True, params=slow.params)
@@ -32,6 +35,9 @@ def test_full_model_fast_path_matches_composed():
     y_s = slow(x)
     y_f = fast(x)
     np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_s), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
 
 
 def test_full_model_fast_path_streaming():
@@ -45,6 +51,9 @@ def test_full_model_fast_path_streaming():
     np.testing.assert_allclose(
         np.asarray(stitched), np.asarray(full), rtol=1e-4, atol=1e-4
     )
+
+
+@pytest.mark.slow
 
 
 def test_full_model_fast_path_gradients():

@@ -33,6 +33,9 @@ def _inputs(key, bsz=1, L=24, d=128, n=16, dtype=jnp.float32):
     return u, delta, A, B, C, D, z, dbias
 
 
+@pytest.mark.slow
+
+
 def test_matches_xla_chunked_full_featured():
     u, delta, A, B, C, D, z, dbias = _inputs(0)
     h0 = jax.random.normal(jax.random.PRNGKey(9), (1, 128, 16), jnp.float32) * 0.1
@@ -89,6 +92,9 @@ def test_unsupported_shapes_fall_back_to_xla():
         method="chunked",
     )
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.slow
 
 
 def test_custom_vjp_matches_xla_gradients():

@@ -99,6 +99,7 @@ def single_device_step():
 
 @pytest.mark.parametrize("mesh_axes", MESH_SHAPES,
                          ids=lambda a: "x".join(f"{k}{v}" for k, v in a.items()))
+@pytest.mark.slow
 def test_sharded_step_matches_single_device(single_device_step, mesh_axes):
     loss0, gn0, params0 = single_device_step
     loss, gn, params = run_one_step(mesh_axes)
@@ -112,6 +113,9 @@ def test_sharded_step_matches_single_device(single_device_step, mesh_axes):
             a, b, rtol=1e-5, atol=1e-6,
             err_msg=jax.tree_util.keystr(kp0),
         )
+
+
+@pytest.mark.slow
 
 
 def test_sharded_step_matches_single_device_no_fast_path(single_device_step):

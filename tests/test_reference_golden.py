@@ -111,6 +111,7 @@ def test_scan_matches_torch_oracle():
 # -------------------------------------------------------------- mixer layer
 
 @pytest.mark.parametrize("use_fast_path", [False, True])
+@pytest.mark.slow
 def test_mixer_layer_parity(use_fast_path):
     """Bare Mamba layer vs torch oracle at the reference's 1e-4 layer bar,
     with weights mapped through the torch layout conventions."""
@@ -177,6 +178,7 @@ def test_mixer_layer_parity(use_fast_path):
     (False, True, True),
     (False, False, False),
 ])
+@pytest.mark.slow
 def test_full_forward_parity_through_bridge(tmp_path, rms_norm, fused_add_norm,
                                             use_fast_path):
     oracle, model = make_pair(tmp_path, rms_norm=rms_norm,

@@ -22,6 +22,9 @@ def refiner_and_params():
     return r, r.init(jax.random.PRNGKey(0))
 
 
+@pytest.mark.slow
+
+
 def test_sequence_input_shape(refiner_and_params):
     r, params = refiner_and_params
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 16), jnp.float32)
@@ -30,6 +33,9 @@ def test_sequence_input_shape(refiner_and_params):
     conv, ssm = state_fwd
     assert conv.shape == (2, 32, 4)
     assert ssm.shape == (2, 32, 8)
+
+
+@pytest.mark.slow
 
 
 def test_packed_input_shape(refiner_and_params):

@@ -30,6 +30,9 @@ def test_checkpointed_forward_matches_plain():
     np.testing.assert_allclose(np.asarray(p_r), np.asarray(p_p), rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
+
+
 def test_checkpointed_gradients_match_plain():
     plain = _model(rng=4)
     remat = _model(use_checkpoint=True, checkpoint_num=1, params=plain.params)
@@ -47,6 +50,9 @@ def test_checkpointed_gradients_match_plain():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
+
+
 def test_bf16_model_matches_fp32_within_parity_bar():
     """bf16 serving preset vs fp32: <=1e-2 max-rel on features (the driver's
     1e-3 bar applies to mean-scale errors; max-rel over a tiny random model
@@ -62,6 +68,9 @@ def test_bf16_model_matches_fp32_within_parity_bar():
     y16 = bf16(x.astype(jnp.bfloat16))[0].astype(jnp.float32)
     rel = float(jnp.max(jnp.abs(y16 - y32)) / jnp.max(jnp.abs(y32)))
     assert rel < 1e-2, rel
+
+
+@pytest.mark.slow
 
 
 def test_bf16_streaming_state_stays_fp32():

@@ -32,6 +32,9 @@ def _inputs(key, bsz=2, L=23, d=8, n=4):
 NAMES = ["du", "ddelta", "dA", "dB", "dC", "dD", "dz", "dbias", "dh0"]
 
 
+@pytest.mark.slow
+
+
 def test_full_featured_gradients_match_ref_autodiff():
     u, delta, A, B, C, D, z, dbias, h0 = _inputs(0)
     bsz, L, d = u.shape
@@ -58,6 +61,9 @@ def test_full_featured_gradients_match_ref_autodiff():
         )
 
 
+@pytest.mark.slow
+
+
 def test_no_optionals_gradients_match_ref_autodiff():
     u, delta, A, B, C, _, _, _, _ = _inputs(1, L=16)
     cot = jax.random.normal(jax.random.PRNGKey(11), u.shape, jnp.float32)
@@ -78,6 +84,9 @@ def test_no_optionals_gradients_match_ref_autodiff():
             np.asarray(gm), np.asarray(gr), rtol=1e-4, atol=1e-5,
             err_msg=f"gradient mismatch for {name}",
         )
+
+
+@pytest.mark.slow
 
 
 def test_no_softplus_gradients_match():
@@ -101,6 +110,9 @@ def test_no_softplus_gradients_match():
         np.testing.assert_allclose(
             np.asarray(gm), np.asarray(gr), rtol=1e-4, atol=1e-5
         )
+
+
+@pytest.mark.slow
 
 
 def test_pallas_path_uses_same_backward(monkeypatch):

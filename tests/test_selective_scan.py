@@ -59,6 +59,7 @@ def _rand_inputs(key, bsz=2, d=8, L=13, n=4, with_all=True):
 
 
 @pytest.mark.parametrize("method", ["ref", "chunked"])
+@pytest.mark.slow
 def test_matches_numpy_oracle(method):
     u, delta, A, B, C, D, z, dbias = _rand_inputs(jax.random.PRNGKey(0))
     got = selective_scan(
@@ -99,6 +100,9 @@ def test_chunked_equals_ref_when_length_not_divisible():
     np.testing.assert_allclose(np.asarray(h_ch), np.asarray(h_ref), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
+
+
 def test_streaming_split_equals_full():
     """Carrying last_state across a split reproduces the full scan."""
     u, delta, A, B, C, D, z, dbias = _rand_inputs(jax.random.PRNGKey(3), L=12)
@@ -118,6 +122,9 @@ def test_streaming_split_equals_full():
     np.testing.assert_allclose(
         np.asarray(stitched), np.asarray(full), rtol=1e-5, atol=1e-6
     )
+
+
+@pytest.mark.slow
 
 
 def test_gradients_flow_through_state():

@@ -29,6 +29,9 @@ def mesh():
     return Mesh(np.array(jax.devices()[:8]), ("sp",))
 
 
+@pytest.mark.slow
+
+
 def test_sequence_parallel_matches_single_device(mesh):
     u, delta, A, B, C, D, z, dbias = _inputs(0, L=64)
     h0 = jax.random.normal(jax.random.PRNGKey(9), (2, 16, 8), jnp.float32) * 0.1
@@ -56,6 +59,9 @@ def test_sequence_parallel_matches_single_device(mesh):
     got, h_got = run(u, delta, B, C, z)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(h_got), np.asarray(h_want), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
 
 
 def test_sequence_parallel_without_optionals(mesh):
@@ -106,6 +112,9 @@ def _sp_call(mesh, sp, params, x, **kw):
     return fn(params, x)
 
 
+@pytest.mark.slow
+
+
 def test_sp_mixer_three_way_parity(mesh):
     """full == chunked-streaming == sequence-parallel, all at 1e-5."""
     base, sp, params = _mixer_pair()
@@ -125,6 +134,9 @@ def test_sp_mixer_three_way_parity(mesh):
         np.asarray(chunked), np.asarray(full), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(
         np.asarray(sp_out), np.asarray(full), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
 
 
 def test_sp_mixer_state_carry_matches_streaming(mesh):
@@ -150,6 +162,9 @@ def test_sp_mixer_state_carry_matches_streaming(mesh):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_ssm), np.asarray(want_ssm),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
 
 
 def test_sp_mixer_gradients_match_single_device(mesh):

@@ -170,6 +170,8 @@ class TestOptimizerFactory:
         assert by_path["layers.0.mixer.in_proj.kernel"] is True
         assert by_path["norm.weight"] is False        # 1-D
 
+    @pytest.mark.slow
+
     def test_create_optimizer_runs_a_step(self):
         import optax
 

@@ -233,6 +233,8 @@ class TestStreaming:
         with pytest.raises(ValueError, match="requires a CLS token"):
             model(x, keep_temporal=True, ssm_state=state, temporal_pos_offset=1)
 
+    @pytest.mark.slow
+
     def test_streaming_chunked_full_state_matches_full_sequence_features(self):
         model = _small_model(add_pool_norm=False, num_frames=8)
         x = _rand(20, (1, 3, 8, 8, 8))
@@ -245,6 +247,8 @@ class TestStreaming:
         np.testing.assert_allclose(
             np.asarray(stitched), np.asarray(full), rtol=1e-4, atol=1e-4
         )
+
+    @pytest.mark.slow
 
     def test_streaming_four_chunks_beyond_trained_horizon(self):
         """Extrapolated temporal pos-embeds: stream 8 frames with a model

@@ -347,22 +347,38 @@ def load_train_state(path: str, params_template: Params, opt_state_template, ste
     return state["params"], state["opt_state"], state["step"]
 
 
-def load_timm_npz(checkpoint_path: str, model, prefix: str = "") -> Params:
-    """Best-effort timm/ViT ``.npz`` loader (reference ``load_pretrained``,
+def load_timm_npz(
+    checkpoint_path: str,
+    model,
+    prefix: str = "",
+    on_unmapped: str = "warn",
+) -> Params:
+    """timm/ViT ``.npz`` loader (reference ``load_pretrained``,
     videomamba.py:587-589 delegating to timm ``_load_weights``).
 
-    Only the ViT-compatible subset maps onto VideoMamba: patch embedding,
-    CLS token, positional embedding, final norm. Mamba mixer weights have no
-    ViT counterpart and are left at their current values.
+    Only the ViT-compatible subset maps onto VideoMamba: patch embedding
+    (2D conv broadcast over the tubelet axis), CLS token, positional
+    embedding (bicubic re-grid when the checkpoint grid differs, following
+    timm's ``resize_pos_embed``), and the final encoder norm. ViT
+    transformer blocks, the classification head, and ``pre_logits`` have no
+    Mamba counterpart — the reference's own timm path would fail on them at
+    runtime, so this loader skips them and reports the skipped key groups
+    per ``on_unmapped`` ("ignore" | "warn" | "error").
     """
+    import warnings
+
     import jax
 
     w = np.load(checkpoint_path)
     params = jax.tree_util.tree_map(lambda x: x, model.params)
+    consumed = set()
 
     def g(name):
         full = prefix + name
-        return w[full] if full in w else None
+        if full in w:
+            consumed.add(full)
+            return w[full]
+        return None
 
     emb = g("embedding/kernel")
     if emb is not None:
@@ -385,12 +401,45 @@ def load_timm_npz(checkpoint_path: str, model, prefix: str = "") -> Params:
     if cls is not None:
         params["cls_token"] = jnp.asarray(cls, model.params["cls_token"].dtype)
     pos = g("Transformer/posembed_input/pos_embedding")
-    if pos is not None and pos.shape == model.params["pos_embed"].shape:
-        params["pos_embed"] = jnp.asarray(pos, model.params["pos_embed"].dtype)
+    if pos is not None:
+        want = model.params["pos_embed"]
+        if pos.shape != want.shape:
+            # timm resize_pos_embed: keep prefix tokens, bicubic the grid.
+            # Assumes the checkpoint shares the model's prefix-token
+            # convention (a CLS slot), the standard ViT layout.
+            extra = want.shape[-2] - model.patch_embed.num_patches
+            prefix_tok = pos[:, :extra]
+            grid = pos[:, extra:]
+            new_h = model.patch_embed.img_size[0] // model.patch_embed.patch_size[0]
+            new_w = model.patch_embed.img_size[1] // model.patch_embed.patch_size[1]
+            old_h, old_w = infer_spatial_grid(grid.shape[-2], (new_h, new_w))
+            grid = grid.reshape(-1, old_h, old_w, pos.shape[-1])
+            wh = cubic_resample_matrix(old_h, new_h)
+            ww = cubic_resample_matrix(old_w, new_w)
+            grid = np.einsum("oh,bhwc->bowc", wh, grid)
+            grid = np.einsum("pw,bowc->bopc", ww, grid)
+            pos = np.concatenate(
+                [prefix_tok, grid.reshape(1, new_h * new_w, pos.shape[-1])],
+                axis=1,
+            )
+        params["pos_embed"] = jnp.asarray(pos, want.dtype)
     scale = g("Transformer/encoder_norm/scale")
     if scale is not None:
         params["norm"]["weight"] = jnp.asarray(scale, jnp.float32)
         bias = g("Transformer/encoder_norm/bias")
         if bias is not None and "bias" in params["norm"]:
             params["norm"]["bias"] = jnp.asarray(bias, jnp.float32)
+
+    unmapped = sorted(
+        {k.split("/")[0 if not k.startswith("Transformer/") else 1]
+         for k in w.files if k not in consumed}
+    )
+    if unmapped and on_unmapped != "ignore":
+        msg = (
+            f"timm npz: skipped key groups with no VideoMamba counterpart: "
+            f"{unmapped}"
+        )
+        if on_unmapped == "error":
+            raise ValueError(msg)
+        warnings.warn(msg, stacklevel=2)
     return params

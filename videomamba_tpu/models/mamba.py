@@ -108,7 +108,6 @@ def _fused_mixer_bwd(res, cts):
     (x_in, z_in, conv_w, conv_b, wx, wdt, dt_bias, A, D, h0,
      conv_state, hckpt) = res
     g_y, g_hlast = cts
-    from videomamba_tpu.ops.pallas.mixer_fused import DEFAULT_BLOCK_L
     from videomamba_tpu.ops.pallas.scan import scan_bwd_pallas
 
     r, n = wdt.shape[0], A.shape[1]
@@ -126,19 +125,9 @@ def _fused_mixer_bwd(res, cts):
     B_ssm = xdbl[..., r:r + n]
     C_ssm = xdbl[..., r + n:]
 
-    # The bwd kernel's per-position dB/dC output blocks need a 128-divisible
-    # time block; when the fused forward used a smaller block, stride the
-    # checkpoints up to the least 128-multiple (entries line up exactly).
-    fwd_bl = DEFAULT_BLOCK_L
-    bwd_bl = fwd_bl
-    while bwd_bl % 128 != 0:
-        bwd_bl += fwd_bl
-    stride = bwd_bl // fwd_bl
-    hckpt_b = hckpt[:, ::stride] if stride > 1 else hckpt
-
     grads = scan_bwd_pallas(
-        conv_out, delta_raw, A, B_ssm, C_ssm, D, z_in, dt_bias, hckpt_b,
-        g_y, g_hlast, softplus=True, has_z=True, block_l=bwd_bl,
+        conv_out, delta_raw, A, B_ssm, C_ssm, D, z_in, dt_bias, hckpt,
+        g_y, g_hlast, softplus=True, has_z=True,
     )
     du_scan, ddelta_raw, dA, dB, dC, dD, dz, ddtbias, dh0 = grads
 

@@ -100,8 +100,6 @@ def _block_kernel(
         # Conv left context: last W-1 raw inputs from the streaming window.
         ctx_scr[:] = cstate_ref[0][1:, :].astype(jnp.float32)
 
-    if checkpoints:
-        hckpt_ref[0, 0] = h_scratch[:]
 
     # ---- add-norm (f32 stats).
     res_out = hid_ref[0].astype(jnp.float32) + res_ref[0].astype(jnp.float32)
@@ -160,6 +158,9 @@ def _block_kernel(
 
     def body(g, h):
         base = pl.multiple_of(g * group, group)
+        if checkpoints:
+            # Group-entry state: fine-grained residual for the backward.
+            hckpt_ref[0, g] = h
         d_rows = delta_scr[pl.ds(base, group), :]
         du_rows = du_scr[pl.ds(base, group), :]
         dA8 = jnp.exp(d_rows[:, None, :] * a_t[None, :, :])
@@ -276,11 +277,12 @@ def block_fused_pallas(
     ]
     if checkpoints:
         out_specs.append(
-            pl.BlockSpec((1, 1, n, d_inner), lambda b, j, l: (b, l, 0, 0),
+            pl.BlockSpec((1, block_l // 8, n, d_inner),
+                         lambda b, j, l: (b, l, 0, 0),
                          memory_space=pltpu.VMEM)
         )
         out_shape.append(
-            jax.ShapeDtypeStruct((bsz, num_blocks, n, d_inner), jnp.float32)
+            jax.ShapeDtypeStruct((bsz, lpad // 8, n, d_inner), jnp.float32)
         )
 
     outs = pl.pallas_call(

@@ -102,9 +102,6 @@ def _mixer_kernel(
     def _():
         h_scratch[:] = h0_ref[0]
 
-    if checkpoints:
-        hckpt_ref[0, 0] = h_scratch[:]
-
     # ---- causal depthwise conv + SiLU (prev-block left context).
     x = x_ref[0].astype(jnp.float32)                       # (c, Di)
     prev_tail = xprev_ref[0][block_l - (width - 1):, :].astype(jnp.float32)
@@ -148,6 +145,9 @@ def _mixer_kernel(
 
     def body(g, h):
         base = pl.multiple_of(g * group, group)
+        if checkpoints:
+            # Group-entry state: fine-grained residual for the backward.
+            hckpt_ref[0, g] = h
         d_rows = delta_scr[pl.ds(base, group), :]
         du_rows = du_scr[pl.ds(base, group), :]
         dA8 = jnp.exp(d_rows[:, None, :] * a_t[None, :, :])
@@ -251,12 +251,14 @@ def mixer_fused_pallas(
         pltpu.VMEM((block_l, d_inner), jnp.float32),  # yacc
     ]
     if checkpoints:
+        groups_per_block = block_l // 8
         out_specs.append(
-            pl.BlockSpec((1, 1, n, d_inner), lambda b, j, l: (b, l, 0, 0),
+            pl.BlockSpec((1, groups_per_block, n, d_inner),
+                         lambda b, j, l: (b, l, 0, 0),
                          memory_space=pltpu.VMEM)
         )
         out_shape.append(
-            jax.ShapeDtypeStruct((bsz, num_blocks, n, d_inner), jnp.float32)
+            jax.ShapeDtypeStruct((bsz, lpad // 8, n, d_inner), jnp.float32)
         )
 
     outs = pl.pallas_call(

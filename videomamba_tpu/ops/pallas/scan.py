@@ -44,6 +44,11 @@ Array = jax.Array
 
 DEFAULT_BLOCK_L = 256
 DEFAULT_BLOCK_D = 512
+# Backward tiling (swept on v5e at Base train shapes): short time blocks
+# with the full channel width win — fewer sequential grid passes, and the
+# per-group (8, N, d) batched ops keep the VPU fed.
+DEFAULT_BWD_BLOCK_L = 64
+BWD_FULL_WIDTH_MAX_D = 2048
 
 
 def _pick_block_d(d: int) -> int:
@@ -112,6 +117,10 @@ def _scan_kernel(
 
     def body(g, h):
         base = pl.multiple_of(g * group, group)
+        if checkpoints:
+            # Group-entry state: the fine-grained residual that lets the
+            # backward kernel skip its own forward-recompute pass.
+            hckpt_ref[0, g] = h
         d_rows = delta_scr[pl.ds(base, group), :]    # (8, dt)
         du_rows = du_scr[pl.ds(base, group), :]      # (8, dt)
         # Minimal-work serial steps win here (the kernel is VPU-throughput
@@ -172,9 +181,10 @@ def scan_chunked_pallas(
 ):
     """Fused selective scan. Returns (y (B, L, D) in u.dtype, h_last (B, D, N) f32).
 
-    With ``checkpoints=True`` additionally returns the block-entry states
-    hckpt (B, K, N, D) f32 (K = padded_L / block_l) — the residuals the
-    Pallas backward kernel consumes. hckpt[:, 0] equals h0.
+    With ``checkpoints=True`` additionally returns the group-entry states
+    hckpt (B, K, N, D) f32 (K = padded_L / 8, one checkpoint per 8-step
+    group) — the residuals the Pallas backward kernel consumes.
+    hckpt[:, 0] equals h0.
     """
     from videomamba_tpu.ops.dispatch import interpret_mode
 
@@ -242,12 +252,14 @@ def scan_chunked_pallas(
         jax.ShapeDtypeStruct((bsz, n, d), jnp.float32),
     ]
     if checkpoints:
+        groups_per_block = block_l // 8
         out_specs.append(
-            pl.BlockSpec((1, 1, n, block_d), lambda b, j, l: (b, l, 0, j),
+            pl.BlockSpec((1, groups_per_block, n, block_d),
+                         lambda b, j, l: (b, l, 0, j),
                          memory_space=pltpu.VMEM)
         )
         out_shape.append(
-            jax.ShapeDtypeStruct((bsz, num_blocks, n, d), jnp.float32)
+            jax.ShapeDtypeStruct((bsz, lpad // 8, n, d), jnp.float32)
         )
 
     outs = pl.pallas_call(
@@ -308,20 +320,20 @@ def _scan_bwd_kernel(
     u_ref,        # (1, c, dt)
     delta_ref,    # (1, c, dt) raw delta
     z_ref,        # (1, c, dt)
-    b_ref,        # (1, N, c)
-    c_ref,        # (1, N, c)
+    b_ref,        # (1, c, N) time-major
+    c_ref,        # (1, c, N) time-major
     g_ref,        # (1, c, dt) cotangent of out
     at_ref,       # (N, dt) f32
     dskip_ref,    # (1, dt) f32
     dbias_ref,    # (1, dt) f32
-    hckpt_ref,    # (1, 1, N, dt) f32 block-entry state
+    hckpt_ref,    # (1, c/8, N, dt) f32 group-entry states
     ghlast_ref,   # (1, N, dt) f32 cotangent of h_last
     # outputs
     du_ref,       # (1, c, dt)
     dd_ref,       # (1, c, dt) d(raw delta)
     dz_ref,       # (1, c, dt)
-    db_ref,       # (1, 1, N, c) per-d-tile partial
-    dc_ref,       # (1, 1, N, c) per-d-tile partial
+    db_ref,       # (1, 1, c, N) per-d-tile partial, time-major
+    dc_ref,       # (1, 1, c, N) per-d-tile partial, time-major
     da_ref,       # (1, N, dt) per-batch partial
     ddsk_ref,     # (1, 1, dt) per-batch partial (D skip)
     dbs_ref,      # (1, 1, dt) per-batch partial (delta bias)
@@ -331,15 +343,6 @@ def _scan_bwd_kernel(
     da_scr,       # (N, dt) f32 dA accumulator
     ddsk_scr,     # (1, dt) f32
     dbs_scr,      # (1, dt) f32
-    hbuf_scr,     # (c, N, dt) f32 pre-update states h_{t-1}
-    delta_scr,    # (c, dt) f32 softplus'ed delta
-    du_scr,       # (c, dt) f32 delta * u
-    g2_scr,       # (c, dt) f32 gate-scaled cotangent
-    pre_scr,      # (c, dt) f32 y_pre rows
-    dd_scr,       # (c, dt) f32 ddelta rows (pre-chain)
-    duo_scr,      # (c, dt) f32 du rows
-    dbacc_scr,    # (N, c) f32 dB block accumulator
-    dcacc_scr,    # (N, c) f32 dC block accumulator
     *,
     block_l: int,
     softplus: bool,
@@ -347,14 +350,20 @@ def _scan_bwd_kernel(
 ):
     """Reverse-time gradient block (math in _fused_scan_bwd_impl's docstring).
 
-    Walks the block twice in 8-step groups: a forward recompute from the
-    block-entry checkpoint storing the pre-update states h_{t-1} in VMEM,
-    then the reverse accumulation carrying s_t = a_{t+1} dh_{t+1} across
-    blocks in scratch. Everything stays in VMEM; per-(b,j) partials of the
-    reduced grads (dA, dD, dbias) are summed outside.
+    One pass over the block, 8-step groups walked back to front. The group's
+    entry state comes from the forward kernel's fine-grained checkpoints, so
+    the pre-update states h_{t-1} are rebuilt with just the 2-op/step chain
+    (no separate recompute pass, no (c, N, dt) state buffer). All per-step
+    work except the two serial chains (h forward, s backward) is batched
+    over the group: decays, the du*B / dy*C outer products, and every
+    gradient contraction run as one (8, N, dt) vector op each. B/C arrive
+    time-major so a group's rows are one aligned sublane slice — no per-step
+    one-hot lane extraction. Reduced grads (dA, dD, dbias) accumulate in
+    VMEM scratch; per-(b, d-tile) partials are summed outside.
     """
     l_idx = pl.program_id(2)
     group = 8
+    num_groups = block_l // group
 
     @pl.when(l_idx == 0)
     def _():
@@ -363,116 +372,86 @@ def _scan_bwd_kernel(
         ddsk_scr[:] = jnp.zeros_like(ddsk_scr)
         dbs_scr[:] = jnp.zeros_like(dbs_scr)
 
-    # ---- vectorized block precompute.
-    delta = delta_ref[0].astype(jnp.float32) + dbias_ref[0][None, :]
-    if softplus:
-        delta = jax.nn.softplus(delta)
-    u = u_ref[0].astype(jnp.float32)
-    delta_scr[:] = delta
-    du_scr[:] = delta * u
-    g = g_ref[0].astype(jnp.float32)
-    if has_z:
-        zf = z_ref[0].astype(jnp.float32)
-        sig = jax.nn.sigmoid(zf)
-        g2_scr[:] = g * (zf * sig)
-    else:
-        g2_scr[:] = g
     a_t = at_ref[:]                                  # (N, dt)
-    b_blk = b_ref[0].astype(jnp.float32)             # (N, c)
-    c_blk = c_ref[0].astype(jnp.float32)             # (N, c)
-    time_ids = lax.broadcasted_iota(jnp.int32, (1, b_blk.shape[1]), 1)
-    dbacc_scr[:] = jnp.zeros_like(dbacc_scr)
-    dcacc_scr[:] = jnp.zeros_like(dcacc_scr)
-
-    # ---- forward recompute storing PRE-update states h_{t-1}.
-    def fwd_body(gidx, h):
-        base = pl.multiple_of(gidx * group, group)
-        d_rows = delta_scr[pl.ds(base, group), :]
-        du_rows = du_scr[pl.ds(base, group), :]
-        dA8 = jnp.exp(d_rows[:, None, :] * a_t[None, :, :])
-        hs = []
-        for k in range(group):
-            onehot = (time_ids == base + k).astype(jnp.float32)
-            b_t = jnp.sum(b_blk * onehot, axis=1, keepdims=True)
-            hs.append(h)
-            h = dA8[k] * h + du_rows[k:k + 1, :] * b_t
-        hbuf_scr[pl.ds(base, group)] = jnp.stack(hs, axis=0)
-        return h
-
-    lax.fori_loop(0, block_l // group, fwd_body, hckpt_ref[0, 0])
-
-    # ---- reverse accumulation, 8-step groups walked back to front.
     dskip_row = dskip_ref[0][None, :]                # (1, dt)
+    dbias_row = dbias_ref[0][None, :]
 
     def bwd_body(gi, s):
-        gidx = (block_l // group) - 1 - gi
+        gidx = num_groups - 1 - gi
         base = pl.multiple_of(gidx * group, group)
-        d_rows = delta_scr[pl.ds(base, group), :]
-        du_rows = du_scr[pl.ds(base, group), :]
         u_rows = u_ref[0, pl.ds(base, group), :].astype(jnp.float32)
-        g2_rows = g2_scr[pl.ds(base, group), :]
-        hprev8 = hbuf_scr[pl.ds(base, group)]        # (8, N, dt)
-        dA8 = jnp.exp(d_rows[:, None, :] * a_t[None, :, :])
-        dd8 = []
-        duo8 = []
-        pre8 = []
-        da_local = None
-        db_local = None
-        dc_local = None
+        draw_rows = delta_ref[0, pl.ds(base, group), :].astype(jnp.float32)
+        d_rows = draw_rows + dbias_row
+        if softplus:
+            d_rows = jax.nn.softplus(d_rows)
+        du_rows = d_rows * u_rows                    # (8, dt)
+        g_rows = g_ref[0, pl.ds(base, group), :].astype(jnp.float32)
+        if has_z:
+            zf = z_ref[0, pl.ds(base, group), :].astype(jnp.float32)
+            sig = jax.nn.sigmoid(zf)
+            g2_rows = g_rows * (zf * sig)
+        else:
+            g2_rows = g_rows
+        b8 = b_ref[0, pl.ds(base, group), :].astype(jnp.float32)  # (8, N)
+        c8 = c_ref[0, pl.ds(base, group), :].astype(jnp.float32)
+
+        dA8 = jnp.exp(d_rows[:, None, :] * a_t[None, :, :])      # (8, N, dt)
+        dub8 = b8[:, :, None] * du_rows[:, None, :]              # (8, N, dt)
+        dyc8 = c8[:, :, None] * g2_rows[:, None, :]              # (8, N, dt)
+
+        # Serial chain 1: rebuild pre-update states from the group entry.
+        h = hckpt_ref[0, gidx]                                   # (N, dt)
+        hs = []
+        for k in range(group):
+            hs.append(h)
+            h = dA8[k] * h + dub8[k]
+        hprev8 = jnp.stack(hs, axis=0)                           # (8, N, dt)
+
+        # Serial chain 2: reverse cotangent carry s_t = a_{t+1} dh_{t+1}.
+        dhs = [None] * group
         for k in reversed(range(group)):
-            onehot = (time_ids == base + k).astype(jnp.float32)  # (1, c)
-            b_t = jnp.sum(b_blk * onehot, axis=1, keepdims=True)  # (N, 1)
-            c_t = jnp.sum(c_blk * onehot, axis=1, keepdims=True)  # (N, 1)
-            dy_t = g2_rows[k:k + 1, :]               # (1, dt)
-            h_prev = hprev8[k]                       # (N, dt)
-            a_k = dA8[k]
-            h_t = a_k * h_prev + du_rows[k:k + 1, :] * b_t
-            dh = c_t * dy_t + s                      # (N, dt)
-            da_a = dh * h_prev * a_k
-            da_term = da_a * d_rows[k:k + 1, :]
-            da_local = da_term if da_local is None else da_local + da_term
-            term1 = jnp.sum(da_a * a_t, axis=0, keepdims=True)   # (1, dt)
-            sB = jnp.sum(dh * b_t, axis=0, keepdims=True)        # (1, dt)
-            dd8.append(term1 + u_rows[k:k + 1, :] * sB)
-            duo8.append(d_rows[k:k + 1, :] * sB + dy_t * dskip_row)
-            db_term = jnp.sum(dh * du_rows[k:k + 1, :], axis=1,
-                              keepdims=True) * onehot             # (N, c)
-            dc_term = jnp.sum(h_t * dy_t, axis=1, keepdims=True) * onehot
-            db_local = db_term if db_local is None else db_local + db_term
-            dc_local = dc_term if dc_local is None else dc_local + dc_term
-            pre8.append(jnp.sum(c_t * h_t, axis=0, keepdims=True))
-            s = a_k * dh
-        dd_scr[pl.ds(base, group), :] = jnp.concatenate(dd8[::-1], axis=0)
-        duo_scr[pl.ds(base, group), :] = jnp.concatenate(duo8[::-1], axis=0)
-        pre_scr[pl.ds(base, group), :] = jnp.concatenate(pre8[::-1], axis=0)
-        da_scr[:] += da_local
-        dbacc_scr[:] += db_local
-        dcacc_scr[:] += dc_local
+            dh = dyc8[k] + s
+            dhs[k] = dh
+            s = dA8[k] * dh
+        dh8 = jnp.stack(dhs, axis=0)                             # (8, N, dt)
+
+        # Batched gradient terms.
+        ht8 = dA8 * hprev8 + dub8
+        da_a8 = dh8 * hprev8 * dA8
+        da_scr[:] += jnp.sum(da_a8 * d_rows[:, None, :], axis=0)
+        term1 = jnp.sum(da_a8 * a_t[None], axis=1)               # (8, dt)
+        sB8 = jnp.sum(dh8 * b8[:, :, None], axis=1)              # (8, dt)
+        ddelta = term1 + u_rows * sB8
+        if softplus:
+            ddelta_raw = ddelta * (1.0 - jnp.exp(-d_rows))
+        else:
+            ddelta_raw = ddelta
+        dbs_scr[:] += jnp.sum(ddelta_raw, axis=0, keepdims=True)
+        ddsk_scr[:] += jnp.sum(g2_rows * u_rows, axis=0, keepdims=True)
+        dd_ref[0, pl.ds(base, group), :] = ddelta_raw.astype(dd_ref.dtype)
+        du_ref[0, pl.ds(base, group), :] = (
+            d_rows * sB8 + g2_rows * dskip_row
+        ).astype(du_ref.dtype)
+        db_ref[0, 0, pl.ds(base, group), :] = jnp.sum(
+            dh8 * du_rows[:, None, :], axis=2
+        )
+        dc_ref[0, 0, pl.ds(base, group), :] = jnp.sum(
+            ht8 * g2_rows[:, None, :], axis=2
+        )
+        if has_z:
+            pre = jnp.sum(c8[:, :, None] * ht8, axis=1)          # (8, dt)
+            pre_full = pre + u_rows * dskip_row
+            dz = g_rows * pre_full * (sig * (1.0 + zf * (1.0 - sig)))
+            dz_ref[0, pl.ds(base, group), :] = dz.astype(dz_ref.dtype)
+        else:
+            dz_ref[0, pl.ds(base, group), :] = jnp.zeros(
+                (group, dz_ref.shape[-1]), dz_ref.dtype
+            )
         return s
 
-    s_final = lax.fori_loop(0, block_l // group, bwd_body, s_scr[:])
+    s_final = lax.fori_loop(0, num_groups, bwd_body, s_scr[:])
     s_scr[:] = s_final
     dh0_ref[0] = s_final
-
-    # ---- vectorized epilogue.
-    ddelta = dd_scr[:]
-    if softplus:
-        ddelta_raw = ddelta * (1.0 - jnp.exp(-delta_scr[:]))
-    else:
-        ddelta_raw = ddelta
-    dbs_scr[:] += jnp.sum(ddelta_raw, axis=0, keepdims=True)
-    ddsk_scr[:] += jnp.sum(g2_scr[:] * u, axis=0, keepdims=True)
-
-    dd_ref[0] = ddelta_raw.astype(dd_ref.dtype)
-    du_ref[0] = duo_scr[:].astype(du_ref.dtype)
-    if has_z:
-        pre_full = pre_scr[:] + u * dskip_row
-        dz = g * pre_full * (sig * (1.0 + zf * (1.0 - sig)))
-        dz_ref[0] = dz.astype(dz_ref.dtype)
-    else:
-        dz_ref[0] = jnp.zeros_like(dz_ref[0])
-    db_ref[0, 0] = dbacc_scr[:]
-    dc_ref[0, 0] = dcacc_scr[:]
     da_ref[0] = da_scr[:]
     ddsk_ref[0, 0] = ddsk_scr[0]
     dbs_ref[0, 0] = dbs_scr[0]
@@ -496,7 +475,7 @@ def scan_bwd_pallas(
     g_hlast: Array,      # (B, D, N) f32 cotangent of h_last
     softplus: bool = True,
     has_z: bool = True,
-    block_l: int = DEFAULT_BLOCK_L,
+    block_l: int = DEFAULT_BWD_BLOCK_L,
     block_d: int = 0,
     interpret: bool = False,
 ):
@@ -504,7 +483,9 @@ def scan_bwd_pallas(
 
     Returns (du, ddelta, dA, dB, dC, dD, dz, dbias, dh0) with None in the
     slots whose primal was None — same contract as _fused_scan_bwd_impl.
-    ``block_l`` MUST match the forward call that produced ``hckpt``.
+    ``hckpt`` is the forward kernel's group-entry states (B, lpad/8, N, D);
+    ``block_l`` only shapes this kernel's tiling (any multiple of 8) and
+    need not match the forward's.
     """
     from videomamba_tpu.ops.dispatch import interpret_mode
 
@@ -512,18 +493,23 @@ def scan_bwd_pallas(
         interpret = True
     bsz, seqlen, d = u.shape
     n = A.shape[1]
-    block_l = min(block_l, max(8, seqlen))
-    block_l = ((block_l + 7) // 8) * 8
     if block_d == 0:
-        # Swept on v5e: d-tile 512 wins when the hbuf (block_l, N, block_d)
-        # scratch fits (block_l <= 128); larger time blocks need 256.
-        cand = _pick_block_d(d)
-        block_d = cand if block_l <= 128 else min(cand, 256)
-    num_blocks = hckpt.shape[1]
+        block_d = (
+            d if d % 128 == 0 and d <= BWD_FULL_WIDTH_MAX_D
+            else _pick_block_d(d)
+        )
 
-    pad = (-seqlen) % block_l
-    lpad = seqlen + pad
-    assert lpad // block_l == num_blocks, "hckpt does not match block_l"
+    # The padded length is fixed by the forward's checkpoints (one per
+    # 8-step group); tile it with the largest block_l <= requested that
+    # divides it.
+    lpad = hckpt.shape[1] * 8
+    assert lpad >= seqlen, (
+        f"hckpt covers {lpad} steps, sequence has {seqlen}"
+    )
+    block_l = min(((block_l + 7) // 8) * 8, lpad)
+    while lpad % block_l:
+        block_l -= 8
+    pad = lpad - seqlen
     if pad:
         delta_pad_val = -1e30 if softplus else 0.0
         u = jnp.pad(u, ((0, 0), (0, pad), (0, 0)))
@@ -541,8 +527,6 @@ def scan_bwd_pallas(
         z = u
         has_z = False
 
-    bt = B.swapaxes(1, 2)
-    ct = C.swapaxes(1, 2)
     a_t = A.T.astype(jnp.float32)
     dskip = (
         D.astype(jnp.float32) if D is not None else jnp.zeros((d,), jnp.float32)
@@ -554,7 +538,8 @@ def scan_bwd_pallas(
     )[None, :]
     ghl = g_hlast.astype(jnp.float32).swapaxes(1, 2)  # (B, N, D)
 
-    kb = num_blocks
+    kb = lpad // block_l
+    groups_per_block = block_l // 8
     grid = (bsz, d // block_d, kb)
     rev = lambda l: kb - 1 - l  # noqa: E731
 
@@ -572,10 +557,10 @@ def scan_bwd_pallas(
                          lambda b, j, l: (b, rev(l), j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_l, block_d),
                          lambda b, j, l: (b, rev(l), j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, block_l),
-                         lambda b, j, l: (b, 0, rev(l)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, block_l),
-                         lambda b, j, l: (b, 0, rev(l)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_l, n),
+                         lambda b, j, l: (b, rev(l), 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_l, n),
+                         lambda b, j, l: (b, rev(l), 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_l, block_d),
                          lambda b, j, l: (b, rev(l), j), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, block_d), lambda b, j, l: (0, j),
@@ -584,7 +569,7 @@ def scan_bwd_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_d), lambda b, j, l: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n, block_d),
+            pl.BlockSpec((1, groups_per_block, n, block_d),
                          lambda b, j, l: (b, rev(l), 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, block_d), lambda b, j, l: (b, 0, j),
@@ -597,11 +582,11 @@ def scan_bwd_pallas(
                          lambda b, j, l: (b, rev(l), j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_l, block_d),
                          lambda b, j, l: (b, rev(l), j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n, block_l),
-                         lambda b, j, l: (b, j, 0, rev(l)),
+            pl.BlockSpec((1, 1, block_l, n),
+                         lambda b, j, l: (b, j, rev(l), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n, block_l),
-                         lambda b, j, l: (b, j, 0, rev(l)),
+            pl.BlockSpec((1, 1, block_l, n),
+                         lambda b, j, l: (b, j, rev(l), 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, block_d), lambda b, j, l: (b, 0, j),
                          memory_space=pltpu.VMEM),
@@ -616,8 +601,8 @@ def scan_bwd_pallas(
             jax.ShapeDtypeStruct((bsz, lpad, d), jnp.float32),   # du
             jax.ShapeDtypeStruct((bsz, lpad, d), jnp.float32),   # ddelta_raw
             jax.ShapeDtypeStruct((bsz, lpad, d), jnp.float32),   # dz
-            jax.ShapeDtypeStruct((bsz, d // block_d, n, lpad), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, d // block_d, n, lpad), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, d // block_d, lpad, n), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, d // block_d, lpad, n), jnp.float32),
             jax.ShapeDtypeStruct((bsz, n, d), jnp.float32),      # dA partials
             jax.ShapeDtypeStruct((bsz, 1, d), jnp.float32),      # dD partials
             jax.ShapeDtypeStruct((bsz, 1, d), jnp.float32),      # dbias parts
@@ -628,25 +613,21 @@ def scan_bwd_pallas(
             pltpu.VMEM((n, block_d), jnp.float32),            # dA acc
             pltpu.VMEM((1, block_d), jnp.float32),            # dD acc
             pltpu.VMEM((1, block_d), jnp.float32),            # dbias acc
-            pltpu.VMEM((block_l, n, block_d), jnp.float32),   # hbuf
-            pltpu.VMEM((block_l, block_d), jnp.float32),      # delta
-            pltpu.VMEM((block_l, block_d), jnp.float32),      # delta*u
-            pltpu.VMEM((block_l, block_d), jnp.float32),      # g2
-            pltpu.VMEM((block_l, block_d), jnp.float32),      # y_pre
-            pltpu.VMEM((block_l, block_d), jnp.float32),      # ddelta
-            pltpu.VMEM((block_l, block_d), jnp.float32),      # du rows
-            pltpu.VMEM((n, block_l), jnp.float32),            # dB acc
-            pltpu.VMEM((n, block_l), jnp.float32),            # dC acc
         ],
         interpret=interpret,
-    )(u, delta, z, bt, ct, g_out, a_t, dskip, dbias, hckpt, ghl)
+        cost_estimate=pl.CostEstimate(
+            flops=26 * bsz * lpad * n * d,
+            bytes_accessed=bsz * lpad * d * 4 * 7 + bsz * lpad * n * 4 * 4,
+            transcendentals=2 * bsz * lpad * n * d,
+        ),
+    )(u, delta, z, B, C, g_out, a_t, dskip, dbias, hckpt, ghl)
 
     (du_p, dd_p, dz_p, db_p, dc_p, da_p, ddsk_p, dbs_p, dh0_p) = outs
 
     du = du_p[:, :seqlen].astype(u.dtype)
     ddelta = dd_p[:, :seqlen].astype(delta.dtype)
-    dB = jnp.sum(db_p, axis=1).swapaxes(1, 2)[:, :seqlen].astype(B.dtype)
-    dC = jnp.sum(dc_p, axis=1).swapaxes(1, 2)[:, :seqlen].astype(C.dtype)
+    dB = jnp.sum(db_p, axis=1)[:, :seqlen].astype(B.dtype)
+    dC = jnp.sum(dc_p, axis=1)[:, :seqlen].astype(C.dtype)
     dA = jnp.sum(da_p, axis=0).T.astype(A.dtype)      # (N,D)->(D,N)
     dD = jnp.sum(ddsk_p, axis=(0, 1)).astype(D.dtype) if D is not None else None
     dz = dz_p[:, :seqlen].astype(z.dtype) if had_z else None
