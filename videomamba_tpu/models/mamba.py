@@ -104,6 +104,15 @@ def _fused_mixer_fwd(x_in, z_in, conv_w, conv_b, wx, wdt, dt_bias, A, D, h0,
     return (y, h_last), res
 
 
+def _mixer_bwd_backend() -> str:
+    """"fused" (single mega-kernel, default) or "composite" (XLA recompute
+    chained to scan_bwd_pallas) via VIDEOMAMBA_MIXER_BWD."""
+    forced = os.getenv("VIDEOMAMBA_MIXER_BWD", "").strip().lower()
+    if forced in {"fused", "composite"}:
+        return forced
+    return "fused"
+
+
 def _fused_mixer_bwd(res, cts):
     (x_in, z_in, conv_w, conv_b, wx, wdt, dt_bias, A, D, h0,
      conv_state, hckpt) = res
@@ -111,6 +120,42 @@ def _fused_mixer_bwd(res, cts):
     from videomamba_tpu.ops.pallas.scan import scan_bwd_pallas
 
     r, n = wdt.shape[0], A.shape[1]
+
+    if _mixer_bwd_backend() == "fused":
+        # Single mega-kernel backward: conv/proj recompute, reverse scan and
+        # every gradient contraction in one pallas_call (ops/pallas/mixer_bwd).
+        from videomamba_tpu.ops.pallas.mixer_bwd import (
+            PACK,
+            mixer_bwd_pallas,
+            mixer_bwd_supported,
+        )
+        from videomamba_tpu.ops.pallas.mixer_fused import pack_weights
+
+        if mixer_bwd_supported(x_in.shape[-1], r, n):
+            wx_pack, wdt_pack = pack_weights(wx, wdt, r, n)
+            (dx, dz, dcw, dcb, dwxp, dwdtp, dbias_g, dA, dD, dh0,
+             dcst) = mixer_bwd_pallas(
+                x_in, z_in, conv_w, conv_b, wx_pack, wdt_pack, A, D,
+                dt_bias, conv_state, hckpt, g_y, g_hlast,
+                softplus=True, highest=(wx.dtype == jnp.float32),
+            )
+            dwx = jnp.concatenate(
+                [dwxp[:, :r], dwxp[:, PACK:PACK + n],
+                 dwxp[:, 2 * PACK:2 * PACK + n]], axis=1,
+            )
+            return (
+                dx.astype(x_in.dtype),
+                dz.astype(z_in.dtype),
+                dcw.astype(conv_w.dtype),
+                dcb.astype(conv_b.dtype),
+                dwx.astype(wx.dtype),
+                dwdtp[:r].astype(wdt.dtype),
+                dbias_g.astype(dt_bias.dtype),
+                dA.astype(A.dtype),
+                dD.astype(D.dtype),
+                dh0.astype(h0.dtype),
+                dcst.astype(conv_state.dtype),
+            )
 
     # Recompute the pre-scan intermediates (cheap: one conv + two small mms).
     def conv_fn(x_, w_, b_, st_):
