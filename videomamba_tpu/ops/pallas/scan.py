@@ -399,8 +399,9 @@ def _scan_bwd_kernel(
         dub8 = b8[:, :, None] * du_rows[:, None, :]              # (8, N, dt)
         dyc8 = c8[:, :, None] * g2_rows[:, None, :]              # (8, N, dt)
 
-        # Serial chain 1: rebuild pre-update states from the group entry.
-        h = hckpt_ref[0, gidx]                                   # (N, dt)
+        # Serial chain 1: rebuild pre-update states from the group entry
+        # (cast-up: the fused-mixer forward may checkpoint in bf16).
+        h = hckpt_ref[0, gidx].astype(jnp.float32)               # (N, dt)
         hs = []
         for k in range(group):
             hs.append(h)
