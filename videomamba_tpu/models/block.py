@@ -97,19 +97,95 @@ def _block_fused(hidden, residual, norm_w, norm_b, win, wout, conv_w, conv_b,
     )
 
 
+def _block_bwd_backend() -> str:
+    """"fused" (whole-block mega-kernel, default) or "composite" (XLA
+    recompute + Pallas scan backward) via VIDEOMAMBA_BLOCK_BWD."""
+    import os
+
+    forced = os.getenv("VIDEOMAMBA_BLOCK_BWD", "").strip().lower()
+    if forced in {"fused", "composite"}:
+        return forced
+    return "fused"
+
+
+def _block_bwd_training_opt_in() -> bool:
+    """Route non-deterministic (training) calls through the fused block
+    only on explicit request — see the gate comment in Block.__call__."""
+    import os
+
+    return os.getenv("VIDEOMAMBA_BLOCK_BWD", "").strip().lower() == "fused"
+
+
 def _block_fused_fwd(hidden, residual, norm_w, norm_b, win, wout, conv_w,
                      conv_b, wx, wdt, dt_bias, A, D, h0, conv_state,
                      norm_rms, eps, residual_fp32):
-    out = _block_fused(hidden, residual, norm_w, norm_b, win, wout, conv_w,
-                       conv_b, wx, wdt, dt_bias, A, D, h0, conv_state,
-                       norm_rms, eps, residual_fp32)
+    from videomamba_tpu.ops.pallas.block_fused import block_fused_pallas
+    from videomamba_tpu.ops.pallas.mixer_fused import pack_weights
+
+    r, n = wdt.shape[0], A.shape[1]
+    wx_pack, wdt_pack = pack_weights(wx, wdt, r, n)
+    out, res_out, h_last, hckpt = block_fused_pallas(
+        hidden, residual, norm_w, norm_b, win, wout, conv_w, conv_b,
+        wx_pack, wdt_pack, A, D, dt_bias, h0, conv_state,
+        norm_rms=norm_rms, eps=eps, residual_fp32=residual_fp32,
+        highest=(win.dtype == jnp.float32), checkpoints=True,
+    )
     res = (hidden, residual, norm_w, norm_b, win, wout, conv_w, conv_b,
-           wx, wdt, dt_bias, A, D, h0, conv_state)
-    return out, res
+           wx, wdt, dt_bias, A, D, h0, conv_state, hckpt)
+    return (out, res_out, h_last), res
 
 
 def _block_fused_bwd(norm_rms, eps, residual_fp32, res, cts):
-    args = res
+    (hidden, residual, norm_w, norm_b, win, wout, conv_w, conv_b,
+     wx, wdt, dt_bias, A, D, h0, conv_state, hckpt) = res
+
+    if _block_bwd_backend() == "fused":
+        # Whole-block mega-kernel backward (ops/pallas/block_bwd): one
+        # pallas_call per layer, residuals = (res_out recomputed by one add,
+        # the forward's scan checkpoints).
+        from videomamba_tpu.ops.pallas.block_bwd import block_bwd_pallas
+        from videomamba_tpu.ops.pallas.mixer_fused import (
+            PACK,
+            pack_weights,
+        )
+
+        g_out, g_res, g_hlast = cts
+        r, n = wdt.shape[0], A.shape[1]
+        res_out = hidden.astype(jnp.float32) + residual.astype(jnp.float32)
+        if not residual_fp32:
+            res_out = res_out.astype(hidden.dtype)
+        wx_pack, wdt_pack = pack_weights(wx, wdt, r, n)
+        (dres, dnw, dnb, dwin, dwout, dcw, dcb, dwxp, dwdtp, dbias_g,
+         dA, dD, dh0, dcst) = block_bwd_pallas(
+            res_out, norm_w, norm_b, win, wout, conv_w, conv_b,
+            wx_pack, wdt_pack, A, D, dt_bias, conv_state, hckpt,
+            g_out, g_res, g_hlast,
+            norm_rms=norm_rms, eps=eps,
+            highest=(win.dtype == jnp.float32),
+        )
+        dwx = jnp.concatenate(
+            [dwxp[:, :r], dwxp[:, PACK:PACK + n],
+             dwxp[:, 2 * PACK:2 * PACK + n]], axis=1,
+        )
+        return (
+            dres.astype(hidden.dtype),
+            dres.astype(residual.dtype),
+            dnw.astype(norm_w.dtype),
+            dnb.astype(norm_b.dtype) if norm_b is not None else None,
+            dwin.astype(win.dtype),
+            dwout.astype(wout.dtype),
+            dcw.astype(conv_w.dtype),
+            dcb.astype(conv_b.dtype),
+            dwx.astype(wx.dtype),
+            dwdtp[:r].astype(wdt.dtype),
+            dbias_g.astype(dt_bias.dtype),
+            dA.astype(A.dtype),
+            dD.astype(D.dtype),
+            dh0.astype(h0.dtype),
+            dcst.astype(conv_state.dtype),
+        )
+
+    args = res[:-1]  # drop hckpt: the recompute path regenerates everything
     present = [a is not None for a in args]
     packed = tuple(a for a in args if a is not None)
 
@@ -179,13 +255,15 @@ class Block:
         if state is not None and ssm_state is not None:
             raise ValueError("Pass either state or ssm_state, not both.")
 
-        # Whole-block fusion is an inference-path optimization: its backward
-        # recomputes the full block (measured slower than the fused-mixer
-        # training path), so it engages only on deterministic calls.
-        if (
-            inference_params is None
-            and deterministic
-            and self._use_block_fused(params)
+        # Whole-block fusion always engages for inference; for training it
+        # is opt-in (VIDEOMAMBA_BLOCK_BWD=fused) — the block-level
+        # mega-backward (ops/pallas/block_bwd) measured 88.9 ms vs 83.5 ms
+        # for the mixer-level path at Base on v5e, so the default training
+        # route stays mixer-fused. When the fused block IS differentiated
+        # (opt-in, or grads through a deterministic call), its backward is
+        # the mega-kernel unless VIDEOMAMBA_BLOCK_BWD=composite.
+        if inference_params is None and self._use_block_fused(params) and (
+            deterministic or _block_bwd_training_opt_in()
         ):
             return self._call_block_fused(
                 params, hidden_states, residual, state, return_state,

@@ -269,13 +269,16 @@ def _mixer_bwd_kernel(
     dcpre = dcy * (sig_c * (1.0 + cy_pre * (1.0 - sig_c)))
 
     # Weight-gradient accumulations (contraction over time rows).
+    # Weight-grad contractions: bf16 MXU passes with f32 accumulation on
+    # the non-highest path (fp32 passes cost 8x).
+    wg = jnp.float32 if highest else wx_ref.dtype
     dwx_scr[:] += jax.lax.dot_general(
-        mm_in.astype(jnp.float32) if not highest else mm_in, dxdbl,
+        mm_in.astype(wg), dxdbl.astype(wg),
         (((0,), (0,)), ((), ())),                          # (Di, 3*PACK)
         preferred_element_type=jnp.float32,
     )
     dwdt_scr[:] += jax.lax.dot_general(
-        dt_in, ddelta_blk,
+        dt_in.astype(wg), ddelta_blk.astype(wg),
         (((0,), (0,)), ((), ())),                          # (PACK, Di)
         preferred_element_type=jnp.float32,
     )
