@@ -73,3 +73,37 @@ def test_gradients_flow_through_pallas_norm():
 
     g_ref = jax.grad(loss_ref)(x)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("norm_type", ["rms", "layer"])
+@pytest.mark.parametrize("prenorm", [True, False])
+def test_pallas_backward_all_gradients(norm_type, prenorm, monkeypatch):
+    """One-pass Pallas backward vs XLA autodiff on every cotangent."""
+    monkeypatch.setenv("VIDEOMAMBA_NORM_BWD", "pallas")
+    x = jax.random.normal(jax.random.PRNGKey(8), (2, 37, 128), jnp.float32)
+    res = jax.random.normal(jax.random.PRNGKey(9), (2, 37, 128), jnp.float32)
+    w = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(10), (128,))
+    bias = (0.1 * jax.random.normal(jax.random.PRNGKey(11), (128,))
+            if norm_type == "layer" else None)
+    gn = jax.random.normal(jax.random.PRNGKey(12), (2, 37, 128), jnp.float32)
+    gr = jax.random.normal(jax.random.PRNGKey(13), (2, 37, 128), jnp.float32)
+
+    def loss(use_pallas, x_, w_, b_, r_):
+        out = fused_add_norm(
+            x_, w_, b_, residual=r_, prenorm=prenorm,
+            residual_in_fp32=True, norm_type=norm_type,
+            use_pallas=use_pallas,
+        )
+        if prenorm:
+            n, r2 = out
+            return jnp.sum(n * gn) + jnp.sum(r2 * gr)
+        return jnp.sum(out * gn)
+
+    argnums = (0, 1, 3) if bias is None else (0, 1, 2, 3)
+    g_x = jax.grad(lambda *a: loss(False, *a), argnums=argnums)(
+        x, w, bias, res)
+    g_p = jax.grad(lambda *a: loss(True, *a), argnums=argnums)(
+        x, w, bias, res)
+    for a, b in zip(g_x, g_p):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)

@@ -48,6 +48,39 @@ def _fan_fwd(x, weight, bias, residual, prenorm, residual_in_fp32, eps, norm_typ
 
 def _fan_bwd(prenorm, residual_in_fp32, eps, norm_type, residuals, cts):
     x, weight, bias, residual = residuals
+
+    from videomamba_tpu.ops.pallas.fused_add_norm import (
+        fused_add_norm_bwd_pallas,
+        fused_add_norm_supported,
+    )
+
+    import os
+
+    use_pallas_bwd = (
+        os.getenv("VIDEOMAMBA_NORM_BWD", "").strip().lower() == "pallas"
+    )
+    if use_pallas_bwd and fused_add_norm_supported(x.shape[-1]):
+        # One-pass Pallas backward — OPT-IN (VIDEOMAMBA_NORM_BWD=pallas).
+        # Measured on v5e at Base train shapes: the XLA-recompute VJP wins
+        # by ~1.6 ms/step because XLA fuses the norm backward into adjacent
+        # elementwise work, while a separate kernel breaks that fusion.
+        # Kept for shapes/backends where a one-pass bwd may win.
+        if prenorm:
+            g_n, g_r = cts
+        else:
+            g_n, g_r = cts, None
+        dx, dw, db, dres = fused_add_norm_bwd_pallas(
+            x, weight, residual, g_n, g_r,
+            prenorm=prenorm, has_residual=residual is not None,
+            eps=eps, norm_type=norm_type,
+        )
+        return (
+            dx,
+            dw.astype(weight.dtype),
+            db.astype(bias.dtype) if bias is not None else None,
+            dres,
+        )
+
     args = (x, weight, bias, residual)
     present = [a is not None for a in args]
     packed = tuple(a for a in args if a is not None)
