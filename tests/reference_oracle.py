@@ -137,7 +137,16 @@ class OracleMamba(nn.Module):
         hidden_states: torch.Tensor,                                # (B, L, D)
         state: Optional[Tuple[torch.Tensor, torch.Tensor]] = None,
         return_state: bool = False,
+        ssm_state: Optional[torch.Tensor] = None,
     ):
+        """``ssm_state`` (bare tensor, no ``state``/``return_state``) is the
+        reference's in-place path (mamba_simple.py:419-439): the conv runs
+        with NO carried window, the scan starts from ``ssm_state``, and the
+        caller's tensor is MUTATED to the advanced state
+        (``ssm_state.copy_(last_state)``)."""
+        if state is not None and ssm_state is not None:
+            raise ValueError("Pass either state or ssm_state, not both.")
+        inplace_ssm = ssm_state if state is None else None
         bsz, seqlen, _ = hidden_states.shape
         xz = self.in_proj(hidden_states)                            # (B,L,2Di)
         x, z = xz.chunk(2, dim=-1)
@@ -147,7 +156,6 @@ class OracleMamba(nn.Module):
         # activation contract).
         x_cf = x.transpose(1, 2)                                    # (B,Di,L)
         conv_state = None
-        ssm_state = None
         if state is not None:
             conv_state, ssm_state = state
             ctx = torch.cat([conv_state.to(x_cf.dtype), x_cf], dim=-1)
@@ -180,6 +188,8 @@ class OracleMamba(nn.Module):
             D_skip=self.D, z=z, dt_bias=self.dt_proj.bias, h0=ssm_state,
         )
         out = self.out_proj(y)
+        if inplace_ssm is not None:
+            inplace_ssm.copy_(h_last.to(inplace_ssm.dtype))
         if return_state:
             assert new_conv_state is not None
             return out, (new_conv_state, h_last)
@@ -226,6 +236,7 @@ class OracleBlock(nn.Module):
         residual: Optional[torch.Tensor] = None,
         state: Optional[Tuple[torch.Tensor, torch.Tensor]] = None,
         return_state: bool = False,
+        ssm_state: Optional[torch.Tensor] = None,
     ):
         residual = hidden_states if residual is None else residual + hidden_states
         hidden_states = self.norm(residual.to(self.norm.weight.dtype))
@@ -236,8 +247,65 @@ class OracleBlock(nn.Module):
                 hidden_states, state=state, return_state=True
             )
             return hidden_states, residual, new_state
-        hidden_states = self.mixer(hidden_states, state=state)
+        hidden_states = self.mixer(hidden_states, state=state, ssm_state=ssm_state)
         return hidden_states, residual
+
+
+# ------------------------------------------------------------------ refiner
+
+class OracleBiMambaRefiner(nn.Module):
+    """Reference-semantics BiMambaRefinerBlock (refiner_backbone.py:13-135):
+    two independent unidirectional Blocks (fwd + frame-flipped bwd), sigmoid
+    fusion gate over the concat, out_proj; only the fwd state streams.
+    Parameter names match the reference module so state_dicts line up."""
+
+    def __init__(self, dim: int, d_state: int = 16):
+        super().__init__()
+        self.block_fwd = OracleBlock(
+            dim, OracleMamba(dim, d_state=d_state), OracleRMSNorm(dim),
+            residual_in_fp32=True,
+        )
+        self.block_bwd = OracleBlock(
+            dim, OracleMamba(dim, d_state=d_state), OracleRMSNorm(dim),
+            residual_in_fp32=True,
+        )
+        self.fusion_gate = nn.Sequential(nn.Linear(dim * 2, dim), nn.Sigmoid())
+        self.out_proj = nn.Linear(dim, dim)
+
+    def _flip(self, v: torch.Tensor, packed) -> torch.Tensor:
+        if packed is None:
+            return torch.flip(v, dims=[1])
+        b, t, n = packed
+        return torch.flip(
+            v.reshape(b, t, n, v.shape[-1]), dims=[1]
+        ).reshape(b, t * n, v.shape[-1])
+
+    def forward(self, x, state_fwd=None, state_bwd_init=None):
+        packed = None
+        if x.ndim == 4:
+            b, t, n, c = x.shape
+            packed = (b, t, n)
+            x = x.reshape(b, t * n, c)
+        bsz = x.shape[0]
+        if state_fwd is None:
+            state_fwd = self.block_fwd.mixer.allocate_state(bsz)
+        out_fwd, _, new_state_fwd = self.block_fwd(
+            x, state=state_fwd, return_state=True
+        )
+        if state_bwd_init is None:
+            state_bwd_init = self.block_bwd.mixer.allocate_state(bsz)
+        out_bwd = self._flip(
+            self.block_bwd(
+                self._flip(x, packed), state=state_bwd_init, return_state=True
+            )[0],
+            packed,
+        )
+        gate = self.fusion_gate(torch.cat([out_fwd, out_bwd], dim=-1))
+        out = self.out_proj(gate * out_fwd + (1.0 - gate) * out_bwd)
+        if packed is not None:
+            b, t, n = packed
+            out = out.reshape(b, t, n, -1)
+        return out, new_state_fwd
 
 
 # ------------------------------------------------------------------ encoder
@@ -381,7 +449,17 @@ class OracleVideoMamba(nn.Module):
         tokens = tokens + temporal_pos.unsqueeze(2)
         tokens = tokens.reshape(bsz, t * h * w, c)
 
-        has_cls = ssm_state is None or temporal_pos_offset <= 0
+        # CLS only drops on continuation chunks of a FULL-state stream;
+        # bare ssm-only states keep CLS on every chunk (reference
+        # videomamba.py:646-653 checks state[0] is a 2-tuple).
+        def _is_full(ls):
+            return isinstance(ls, (list, tuple)) and len(ls) == 2
+
+        has_cls = (
+            ssm_state is None
+            or temporal_pos_offset <= 0
+            or not _is_full(ssm_state[0])
+        )
         if has_cls:
             cls_tok = (self.cls_token + self.pos_embed[:, :1]).expand(bsz, -1, -1)
             tokens = torch.cat([cls_tok, tokens], dim=1)
@@ -399,10 +477,17 @@ class OracleVideoMamba(nn.Module):
         new_states: List[Tuple[torch.Tensor, torch.Tensor]] = []
         for idx, blk in enumerate(self.layers):
             if ssm_state is not None:
-                hidden, residual, st = blk(
-                    hidden, residual, state=ssm_state[idx], return_state=True
-                )
-                new_states.append(st)
+                layer_state = ssm_state[idx]
+                if _is_full(layer_state):
+                    hidden, residual, st = blk(
+                        hidden, residual, state=layer_state, return_state=True
+                    )
+                    new_states.append(st)
+                else:
+                    # In-place path: blk mutates layer_state to the advanced
+                    # scan state (mamba_simple.py:427-439).
+                    hidden, residual = blk(hidden, residual, ssm_state=layer_state)
+                    new_states.append(layer_state)
             else:
                 hidden, residual = blk(hidden, residual)
 

@@ -23,10 +23,10 @@ def _interpret_mode(monkeypatch):
     monkeypatch.setenv("VIDEOMAMBA_PALLAS_INTERPRET", "1")
 
 
-def _setup(key, bsz, seqlen, norm_type, d_model=64):
+def _setup(key, bsz, seqlen, norm_type, d_model=64, residual_in_fp32=True):
     mix = Mamba(d_model=d_model, layer_idx=0)
     blk = Block(dim=d_model, mixer=mix, norm_type=norm_type,
-                fused_add_norm=True, residual_in_fp32=True)
+                fused_add_norm=True, residual_in_fp32=residual_in_fp32)
     p = blk.init(jax.random.PRNGKey(key))
     ks = jax.random.split(jax.random.PRNGKey(key + 1), 6)
     hid = jax.random.normal(ks[0], (bsz, seqlen, d_model), jnp.float32)
@@ -85,6 +85,34 @@ def test_block_bwd_matches_mixer_path_layernorm_multiblock(monkeypatch):
     g_m = _grads(*setup, "mixer", monkeypatch)
     g_f = _grads(*setup, "fused", monkeypatch)
     _assert_close(g_m, g_f)
+
+
+@pytest.mark.slow
+def test_block_bwd_residual_fp32_false(monkeypatch):
+    """residual_in_fp32=False: the forward norms the unrounded f32 sum
+    before casting res_out to its storage dtype, and the fused backward
+    must linearize at the same f32 point (models/block.py _block_fused_bwd
+    recomputes res_out in f32). f32 inputs keep the bar tight; a bf16
+    variant below loosens it to bf16 rounding."""
+    setup = _setup(4, bsz=1, seqlen=40, norm_type="rms",
+                   residual_in_fp32=False)
+    g_m = _grads(*setup, "mixer", monkeypatch)
+    g_f = _grads(*setup, "fused", monkeypatch)
+    _assert_close(g_m, g_f)
+
+
+@pytest.mark.slow
+def test_block_bwd_bf16_residual_fp32_false(monkeypatch):
+    """bf16 activations + residual_in_fp32=False, fused vs mixer-path
+    gradients: agreement within bf16 rounding noise (loosened bar)."""
+    blk, p, hid, res, go, gr, h0, cs = _setup(
+        5, bsz=1, seqlen=40, norm_type="rms", residual_in_fp32=False)
+    hid = hid.astype(jnp.bfloat16)
+    res = res.astype(jnp.bfloat16)
+    setup = (blk, p, hid, res, go, gr, h0, cs)
+    g_m = _grads(*setup, "mixer", monkeypatch)
+    g_f = _grads(*setup, "fused", monkeypatch)
+    _assert_close(g_m, g_f, tol=2e-2)
 
 
 def test_training_gate_requires_opt_in(monkeypatch):

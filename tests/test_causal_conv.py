@@ -34,8 +34,6 @@ def _silu(y):
 
 
 @pytest.mark.slow
-
-
 def test_matches_numpy_oracle():
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 3)

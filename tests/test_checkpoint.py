@@ -38,8 +38,6 @@ def _small_model(**overrides):
 
 
 @pytest.mark.slow
-
-
 def test_torch_state_dict_round_trip(tmp_path):
     src = _small_model(rng=1)
     ckpt = tmp_path / "sd.pt"
@@ -58,8 +56,6 @@ def test_torch_state_dict_round_trip(tmp_path):
 
 
 @pytest.mark.slow
-
-
 def test_rejects_wrapped_checkpoint(tmp_path):
     model = _small_model()
     sd = {
@@ -163,8 +159,6 @@ def test_native_save_load_roundtrip(tmp_path):
 
 
 @pytest.mark.slow
-
-
 def test_build_videomamba_with_pretrained(tmp_path):
     from types import SimpleNamespace
 

@@ -74,8 +74,6 @@ def test_chunk_video_alignment_and_truncation():
 
 
 @pytest.mark.slow
-
-
 def test_iter_video_chunks_streams_to_full_equivalence():
     model = _small_model(add_pool_norm=False, num_frames=8)
     x = np.asarray(

@@ -17,8 +17,6 @@ if not nat.native_available():  # pragma: no cover - g++ is in the image
 
 
 @pytest.mark.slow
-
-
 def test_train_classifier_end_to_end(tmp_path, capsys):
     from train_classifier import main
 

@@ -58,8 +58,6 @@ def test_streaming_chunked_equals_full(setup):
 
 
 @pytest.mark.slow
-
-
 def test_gradients_match_composed(setup):
     fused, composed, params, x = setup
 
@@ -84,8 +82,6 @@ def test_gradients_match_composed(setup):
 
 
 @pytest.mark.slow
-
-
 def test_unsupported_width_falls_back(setup):
     # d_inner = 2*24 = 48 not lane-aligned: gate must reject, path still works.
     mixer = Mamba(d_model=24, d_state=16, use_fast_path=True)

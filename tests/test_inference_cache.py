@@ -35,8 +35,6 @@ def test_inference_cache_resizes_when_batch_size_changes(mixer_and_params):
 
 
 @pytest.mark.slow
-
-
 def test_prefill_then_steps_matches_batch_forward(mixer_and_params):
     """Prefill a prefix through the cache, decode the rest token-by-token;
     must equal one full batch forward."""

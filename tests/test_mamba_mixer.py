@@ -20,8 +20,6 @@ def mixer_and_params():
 
 
 @pytest.mark.slow
-
-
 def test_chunked_equals_full_layer_level(mixer_and_params):
     mixer, params = mixer_and_params
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 12, 16), jnp.float32)
@@ -39,8 +37,6 @@ def test_chunked_equals_full_layer_level(mixer_and_params):
 
 
 @pytest.mark.slow
-
-
 def test_three_way_chunking_with_allocated_state(mixer_and_params):
     mixer, params = mixer_and_params
     x = jax.random.normal(jax.random.PRNGKey(2), (1, 15, 16), jnp.float32)
@@ -91,8 +87,6 @@ def test_ssm_state_only_path(mixer_and_params):
 
 
 @pytest.mark.slow
-
-
 def test_decode_step_matches_batch_forward(mixer_and_params):
     mixer, params = mixer_and_params
     x = jax.random.normal(jax.random.PRNGKey(4), (2, 5, 16), jnp.float32)
@@ -112,8 +106,6 @@ def test_decode_step_matches_batch_forward(mixer_and_params):
 
 
 @pytest.mark.slow
-
-
 def test_gradients_flow_through_streaming_path(mixer_and_params):
     mixer, params = mixer_and_params
 
@@ -179,7 +171,6 @@ class TestBlock:
         assert len(out_with) == 3
 
     @pytest.mark.slow
-
     def test_block_chunked_equals_full(self):
         block = self._block(rms_norm=True, fused_add_norm=True, residual_in_fp32=True)
         params = block.init(jax.random.PRNGKey(2))

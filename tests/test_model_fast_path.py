@@ -26,8 +26,6 @@ def _model(fast, params=None):
 
 
 @pytest.mark.slow
-
-
 def test_full_model_fast_path_matches_composed():
     slow = _model(False)
     fast = _model(True, params=slow.params)
@@ -38,8 +36,6 @@ def test_full_model_fast_path_matches_composed():
 
 
 @pytest.mark.slow
-
-
 def test_full_model_fast_path_streaming():
     fast = _model(True)
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 4, 16, 16), jnp.float32)
@@ -54,8 +50,6 @@ def test_full_model_fast_path_streaming():
 
 
 @pytest.mark.slow
-
-
 def test_full_model_fast_path_gradients():
     slow = _model(False)
     fast = _model(True, params=slow.params)

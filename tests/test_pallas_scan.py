@@ -34,8 +34,6 @@ def _inputs(key, bsz=1, L=24, d=128, n=16, dtype=jnp.float32):
 
 
 @pytest.mark.slow
-
-
 def test_matches_xla_chunked_full_featured():
     u, delta, A, B, C, D, z, dbias = _inputs(0)
     h0 = jax.random.normal(jax.random.PRNGKey(9), (1, 128, 16), jnp.float32) * 0.1
@@ -95,8 +93,6 @@ def test_unsupported_shapes_fall_back_to_xla():
 
 
 @pytest.mark.slow
-
-
 def test_custom_vjp_matches_xla_gradients():
     u, delta, A, B, C, D, z, dbias = _inputs(4, L=16)
 

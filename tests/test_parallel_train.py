@@ -116,8 +116,33 @@ def test_sharded_step_matches_single_device(single_device_step, mesh_axes):
 
 
 @pytest.mark.slow
+def test_sharded_step_pallas_kernels_compose_with_mesh(monkeypatch,
+                                                       single_device_step):
+    """The Pallas kernels must lower and partition correctly under the
+    dp/fsdp/tp mesh (GSPMD partitioning of custom calls is a known failure
+    surface). VIDEOMAMBA_PALLAS_INTERPRET=1 makes the REAL pallas_call
+    lowering path run on CPU inside the pjit'd train step — the same
+    composition the TPU executes — and the result must match the
+    single-device XLA baseline to 1e-5 (kernels are exact vs XLA)."""
+    monkeypatch.setenv("VIDEOMAMBA_PALLAS_INTERPRET", "1")
+    from videomamba_tpu.ops import dispatch
+
+    assert dispatch.preferred_scan_method() == "pallas"
+    loss0, gn0, params0 = single_device_step
+    loss, gn, params = run_one_step({"dp": 1, "fsdp": 4, "tp": 2})
+    assert abs(loss - loss0) <= 1e-5 * max(1.0, abs(loss0))
+    assert abs(gn - gn0) <= 1e-5 * max(1.0, abs(gn0))
+    flat0 = jax.tree_util.tree_flatten_with_path(params0)[0]
+    flat1 = jax.tree_util.tree_flatten_with_path(params)[0]
+    for (kp0, a), (kp1, b) in zip(flat0, flat1):
+        assert kp0 == kp1
+        np.testing.assert_allclose(
+            a, b, rtol=1e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(kp0),
+        )
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device_no_fast_path(single_device_step):
     # use_fast_path toggles the scan implementation; both must agree with
     # the same single-device baseline (on CPU both lower to the chunked

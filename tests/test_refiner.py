@@ -23,8 +23,6 @@ def refiner_and_params():
 
 
 @pytest.mark.slow
-
-
 def test_sequence_input_shape(refiner_and_params):
     r, params = refiner_and_params
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 16), jnp.float32)
@@ -36,8 +34,6 @@ def test_sequence_input_shape(refiner_and_params):
 
 
 @pytest.mark.slow
-
-
 def test_packed_input_shape(refiner_and_params):
     r, params = refiner_and_params
     x = jax.random.normal(jax.random.PRNGKey(2), (2, 3, 4, 16), jnp.float32)

@@ -31,8 +31,6 @@ def test_checkpointed_forward_matches_plain():
 
 
 @pytest.mark.slow
-
-
 def test_checkpointed_gradients_match_plain():
     plain = _model(rng=4)
     remat = _model(use_checkpoint=True, checkpoint_num=1, params=plain.params)
@@ -51,8 +49,6 @@ def test_checkpointed_gradients_match_plain():
 
 
 @pytest.mark.slow
-
-
 def test_bf16_model_matches_fp32_within_parity_bar():
     """bf16 serving preset vs fp32: <=1e-2 max-rel on features (the driver's
     1e-3 bar applies to mean-scale errors; max-rel over a tiny random model
@@ -71,8 +67,6 @@ def test_bf16_model_matches_fp32_within_parity_bar():
 
 
 @pytest.mark.slow
-
-
 def test_bf16_streaming_state_stays_fp32():
     model = _model(rng=6, dtype=jnp.bfloat16)
     x = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 2, 8, 8), jnp.bfloat16)

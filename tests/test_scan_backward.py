@@ -33,8 +33,6 @@ NAMES = ["du", "ddelta", "dA", "dB", "dC", "dD", "dz", "dbias", "dh0"]
 
 
 @pytest.mark.slow
-
-
 def test_full_featured_gradients_match_ref_autodiff():
     u, delta, A, B, C, D, z, dbias, h0 = _inputs(0)
     bsz, L, d = u.shape
@@ -62,8 +60,6 @@ def test_full_featured_gradients_match_ref_autodiff():
 
 
 @pytest.mark.slow
-
-
 def test_no_optionals_gradients_match_ref_autodiff():
     u, delta, A, B, C, _, _, _, _ = _inputs(1, L=16)
     cot = jax.random.normal(jax.random.PRNGKey(11), u.shape, jnp.float32)
@@ -87,8 +83,6 @@ def test_no_optionals_gradients_match_ref_autodiff():
 
 
 @pytest.mark.slow
-
-
 def test_no_softplus_gradients_match():
     u, delta, A, B, C, D, z, _, h0 = _inputs(2, L=12)
     # Keep delta positive so the no-softplus regime is well-conditioned.
@@ -113,8 +107,6 @@ def test_no_softplus_gradients_match():
 
 
 @pytest.mark.slow
-
-
 def test_pallas_path_uses_same_backward(monkeypatch):
     monkeypatch.setenv("VIDEOMAMBA_PALLAS_INTERPRET", "1")
     u, delta, A, B, C, D, z, dbias, h0 = _inputs(3, d=128, n=16, L=16)

@@ -101,8 +101,6 @@ def test_chunked_equals_ref_when_length_not_divisible():
 
 
 @pytest.mark.slow
-
-
 def test_streaming_split_equals_full():
     """Carrying last_state across a split reproduces the full scan."""
     u, delta, A, B, C, D, z, dbias = _rand_inputs(jax.random.PRNGKey(3), L=12)
@@ -125,8 +123,6 @@ def test_streaming_split_equals_full():
 
 
 @pytest.mark.slow
-
-
 def test_gradients_flow_through_state():
     u, delta, A, B, C, D, z, dbias = _rand_inputs(jax.random.PRNGKey(4), L=10)
     h0 = jnp.zeros((2, 8, 4), jnp.float32)

@@ -30,8 +30,6 @@ def mesh():
 
 
 @pytest.mark.slow
-
-
 def test_sequence_parallel_matches_single_device(mesh):
     u, delta, A, B, C, D, z, dbias = _inputs(0, L=64)
     h0 = jax.random.normal(jax.random.PRNGKey(9), (2, 16, 8), jnp.float32) * 0.1
@@ -62,8 +60,6 @@ def test_sequence_parallel_matches_single_device(mesh):
 
 
 @pytest.mark.slow
-
-
 def test_sequence_parallel_without_optionals(mesh):
     u, delta, A, B, C, _, _, _ = _inputs(1, L=32)
     want = selective_scan_bld(u, delta, A, B, C, delta_softplus=True)
@@ -113,8 +109,6 @@ def _sp_call(mesh, sp, params, x, **kw):
 
 
 @pytest.mark.slow
-
-
 def test_sp_mixer_three_way_parity(mesh):
     """full == chunked-streaming == sequence-parallel, all at 1e-5."""
     base, sp, params = _mixer_pair()
@@ -137,8 +131,6 @@ def test_sp_mixer_three_way_parity(mesh):
 
 
 @pytest.mark.slow
-
-
 def test_sp_mixer_state_carry_matches_streaming(mesh):
     """SP with incoming state returns the same output AND state as streaming."""
     base, sp, params = _mixer_pair()
@@ -165,8 +157,6 @@ def test_sp_mixer_state_carry_matches_streaming(mesh):
 
 
 @pytest.mark.slow
-
-
 def test_sp_mixer_gradients_match_single_device(mesh):
     """jax.grad through the shard_map == single-device grads (params AND x)."""
     base, sp, params = _mixer_pair()

@@ -171,7 +171,6 @@ class TestOptimizerFactory:
         assert by_path["norm.weight"] is False        # 1-D
 
     @pytest.mark.slow
-
     def test_create_optimizer_runs_a_step(self):
         import optax
 

@@ -234,7 +234,6 @@ class TestStreaming:
             model(x, keep_temporal=True, ssm_state=state, temporal_pos_offset=1)
 
     @pytest.mark.slow
-
     def test_streaming_chunked_full_state_matches_full_sequence_features(self):
         model = _small_model(add_pool_norm=False, num_frames=8)
         x = _rand(20, (1, 3, 8, 8, 8))
@@ -249,7 +248,6 @@ class TestStreaming:
         )
 
     @pytest.mark.slow
-
     def test_streaming_four_chunks_beyond_trained_horizon(self):
         """Extrapolated temporal pos-embeds: stream 8 frames with a model
         trained for 4 — exercises the linear-resample path every chunk.
@@ -304,14 +302,59 @@ class TestStreaming:
         out, next_state = model(x, ssm_state=state, temporal_pos_offset=0)
         assert isinstance(next_state, tuple)
 
-    def test_ssm_only_state_passthrough(self):
-        """SSM-only states (init_ssm_state) run but come back unchanged
-        (reference videomamba.py:930-941)."""
+    def test_ssm_only_state_advances(self):
+        """SSM-only states (init_ssm_state) come back ADVANCED — the
+        functional equivalent of the reference's in-place
+        ``ssm_state.copy_(last_state)`` (mamba_simple.py:427-439): chunk 2
+        must see the state chunk 1 produced, not the zeros it started from."""
         model = _small_model(add_pool_norm=False)
         x = _rand(25, (1, 3, 2, 8, 8))
         state = model.init_ssm_state(batch_size=1)
         out, next_state = model(x, ssm_state=state, temporal_pos_offset=0)
-        assert next_state is state
+        assert isinstance(next_state, list) and len(next_state) == len(state)
+        for s_new, s_old in zip(next_state, state):
+            assert s_new.shape == s_old.shape and s_new.dtype == s_old.dtype
+            assert not np.allclose(np.asarray(s_new), np.asarray(s_old))
+
+    def test_ssm_only_streaming_carries_state(self):
+        """Two ssm-only chunks differ from two independent (zero-state)
+        chunks — proof the carried state is actually consumed — and the
+        advanced state equals the full-state path's ssm component when the
+        conv boundary cannot interfere (first chunk)."""
+        model = _small_model(add_pool_norm=False)
+        x = _rand(27, (1, 3, 4, 8, 8))
+        c1, c2 = x[:, :, :2], x[:, :, 2:]
+
+        s0 = model.init_ssm_state(batch_size=1)
+        _, s1 = model(c1, ssm_state=s0, temporal_pos_offset=0)
+        out_carried, _ = model(c2, ssm_state=s1, temporal_pos_offset=2)
+        out_fresh, _ = model(
+            c2, ssm_state=model.init_ssm_state(batch_size=1),
+            temporal_pos_offset=2,
+        )
+        assert not np.allclose(
+            np.asarray(out_carried), np.asarray(out_fresh), atol=1e-6
+        )
+
+        # First-chunk ssm advancement matches the full-state path exactly.
+        full0 = model.init_state(batch_size=1)
+        _, full1 = model(c1, ssm_state=full0, temporal_pos_offset=0)
+        for (_, ssm_full), ssm_only in zip(full1, s1):
+            np.testing.assert_allclose(
+                np.asarray(ssm_full), np.asarray(ssm_only), rtol=1e-5, atol=1e-5
+            )
+
+    def test_ssm_only_dict_missing_layers_stay_stateless(self):
+        """A dict state covering only some layers: covered layers advance,
+        missing layers run stateless and stay absent (reference
+        videomamba.py:591-600 + dict.get semantics)."""
+        model = _small_model(add_pool_norm=False)
+        x = _rand(28, (1, 3, 2, 8, 8))
+        full = model.init_ssm_state(batch_size=1, as_dict=True)
+        partial = {0: full[0]}
+        out, next_state = model(x, ssm_state=partial, temporal_pos_offset=0)
+        assert set(next_state.keys()) == {0}
+        assert not np.allclose(np.asarray(next_state[0]), np.asarray(full[0]))
 
     def test_no_recompilation_across_continuation_chunks(self):
         model = _small_model(add_pool_norm=False, num_frames=4)

@@ -352,6 +352,7 @@ def load_timm_npz(
     model,
     prefix: str = "",
     on_unmapped: str = "warn",
+    num_prefix_tokens: Optional[int] = None,
 ) -> Params:
     """timm/ViT ``.npz`` loader (reference ``load_pretrained``,
     videomamba.py:587-589 delegating to timm ``_load_weights``).
@@ -405,14 +406,40 @@ def load_timm_npz(
         want = model.params["pos_embed"]
         if pos.shape != want.shape:
             # timm resize_pos_embed: keep prefix tokens, bicubic the grid.
-            # Assumes the checkpoint shares the model's prefix-token
-            # convention (a CLS slot), the standard ViT layout.
-            extra = want.shape[-2] - model.patch_embed.num_patches
+            # The prefix-token count comes from the CHECKPOINT's layout;
+            # pass num_prefix_tokens for non-standard checkpoints (e.g.
+            # DeiT distillation tokens, or no CLS slot). Default: the
+            # model's convention (one CLS slot), validated against the
+            # checkpoint grid below instead of silently mis-slicing.
+            extra = (
+                num_prefix_tokens
+                if num_prefix_tokens is not None
+                else want.shape[-2] - model.patch_embed.num_patches
+            )
+            if not 0 <= extra <= pos.shape[-2]:
+                raise ValueError(
+                    f"timm npz: num_prefix_tokens={extra} out of range for a "
+                    f"pos embedding with {pos.shape[-2]} tokens."
+                )
             prefix_tok = pos[:, :extra]
             grid = pos[:, extra:]
             new_h = model.patch_embed.img_size[0] // model.patch_embed.patch_size[0]
             new_w = model.patch_embed.img_size[1] // model.patch_embed.patch_size[1]
-            old_h, old_w = infer_spatial_grid(grid.shape[-2], (new_h, new_w))
+            grid_count = grid.shape[-2]
+            # A ViT grid is near-square: require a factorization within 2x
+            # aspect of the model grid, else the prefix assumption is wrong
+            # (e.g. a checkpoint without a CLS slot shifted by one token).
+            old_h, old_w = infer_spatial_grid(grid_count, (new_h, new_w))
+            ref_ratio = new_h / new_w
+            if not (ref_ratio / 2 <= old_h / old_w <= ref_ratio * 2):
+                raise ValueError(
+                    f"timm npz: checkpoint grid of {grid_count} tokens (after "
+                    f"stripping {extra} prefix tokens) only factorizes as "
+                    f"{old_h}x{old_w}, implausible vs the model grid "
+                    f"{new_h}x{new_w}. The checkpoint likely uses a different "
+                    "prefix-token convention; pass num_prefix_tokens "
+                    "explicitly."
+                )
             grid = grid.reshape(-1, old_h, old_w, pos.shape[-1])
             wh = cubic_resample_matrix(old_h, new_h)
             ww = cubic_resample_matrix(old_w, new_w)

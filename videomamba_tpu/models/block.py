@@ -151,9 +151,12 @@ def _block_fused_bwd(norm_rms, eps, residual_fp32, res, cts):
 
         g_out, g_res, g_hlast = cts
         r, n = wdt.shape[0], A.shape[1]
+        # Recompute res_out in f32 regardless of residual_fp32: the forward
+        # kernel normalizes the UNROUNDED f32 sum (block_fused.py kernel)
+        # before casting res_out to its storage dtype, so the backward must
+        # linearize at the same f32 point — recomputing the norm from a
+        # bf16-rounded res_out would perturb every gradient slightly.
         res_out = hidden.astype(jnp.float32) + residual.astype(jnp.float32)
-        if not residual_fp32:
-            res_out = res_out.astype(hidden.dtype)
         wx_pack, wdt_pack = pack_weights(wx, wdt, r, n)
         (dres, dnw, dnb, dwin, dwout, dcw, dcb, dwxp, dwdtp, dbias_g,
          dA, dD, dh0, dcst) = block_bwd_pallas(
@@ -241,6 +244,7 @@ class Block:
         state: Optional[LayerState] = None,
         return_state: bool = False,
         ssm_state: Optional[Array] = None,
+        return_ssm_state: bool = False,
         drop_path_key: Optional[Array] = None,
         deterministic: bool = True,
         inference_params=None,
@@ -250,10 +254,15 @@ class Block:
         Matches the reference forward contract (videomamba.py:121-246):
         ``residual`` is the running pre-norm sum; drop-path is applied to the
         incoming hidden states only when a residual exists (never on the
-        first block's raw embedding).
+        first block's raw embedding). ``return_ssm_state`` (with a bare
+        ``ssm_state``) additionally returns the advanced SSM array — the
+        functional stand-in for the reference's in-place
+        ``ssm_state.copy_(last_state)`` (mamba_simple.py:419-439).
         """
         if state is not None and ssm_state is not None:
             raise ValueError("Pass either state or ssm_state, not both.")
+        if return_ssm_state and ssm_state is None:
+            raise ValueError("return_ssm_state requires ssm_state.")
 
         # Whole-block fusion always engages for inference; for training it
         # is opt-in (VIDEOMAMBA_BLOCK_BWD=fused) — the block-level
@@ -267,7 +276,7 @@ class Block:
         ):
             return self._call_block_fused(
                 params, hidden_states, residual, state, return_state,
-                ssm_state, drop_path_key, deterministic,
+                ssm_state, return_ssm_state, drop_path_key, deterministic,
             )
 
         dropped = (
@@ -296,11 +305,15 @@ class Block:
                 return hidden, new_residual, new_state
             return mixer_out, new_residual
 
-        hidden = self.mixer(
+        mixer_out = self.mixer(
             params["mixer"], normed, ssm_state=ssm_state,
+            return_ssm_state=return_ssm_state,
             inference_params=inference_params,
         )
-        return hidden, new_residual
+        if return_ssm_state:
+            hidden, new_ssm = mixer_out
+            return hidden, new_residual, new_ssm
+        return mixer_out, new_residual
 
     def _use_block_fused(self, params: Params) -> bool:
         """Whole-block fusion gate: fused norms + fast-path mixer + no
@@ -328,7 +341,7 @@ class Block:
 
     def _call_block_fused(
         self, params, hidden_states, residual, state, return_state,
-        ssm_state, drop_path_key, deterministic,
+        ssm_state, return_ssm_state, drop_path_key, deterministic,
     ):
         mx = params["mixer"]
         bsz = hidden_states.shape[0]
@@ -372,6 +385,9 @@ class Block:
             self.norm_type == "rms", self.norm_epsilon,
             self.residual_in_fp32,
         )
+        if return_ssm_state:
+            assert ssm_state is not None
+            return out, res_out, h_last.astype(ssm_state.dtype)
         if state is None or not return_state:
             return out, res_out
         # New conv window: recompute the conv-input x for the last W

@@ -344,8 +344,9 @@ class Mamba:
         state: Optional[LayerState] = None,
         return_state: bool = False,
         ssm_state: Optional[Array] = None,
+        return_ssm_state: bool = False,
         inference_params: Optional["InferenceCache"] = None,
-    ) -> Union[Array, Tuple[Array, LayerState]]:
+    ) -> Union[Array, Tuple[Array, LayerState], Tuple[Array, Array]]:
         """Apply the mixer.
 
         Args:
@@ -356,18 +357,32 @@ class Mamba:
             return_state: also return the updated state tuple.
             ssm_state: SSM-only initial state (no conv context), matching the
                 reference's ``ssm_state=`` argument (mamba_simple.py:287).
+            return_ssm_state: with ``ssm_state``, also return the advanced
+                bare SSM state — the functional equivalent of the reference's
+                in-place ``ssm_state.copy_(last_state)``
+                (mamba_simple.py:419-439, use_inplace_ssm): the scan runs with
+                ``return_last_state=True`` and the caller receives the
+                advanced array instead of having its buffer mutated.
 
         Returns:
-            out (B, L, d_model), or (out, (new_conv_state, new_ssm_state)).
-            New states keep the dtypes of the incoming states (jit-stable
-            pytrees); with no incoming state, conv_state takes the input
-            dtype and ssm_state is float32, like the reference fresh-state
-            path.
+            out (B, L, d_model), or (out, (new_conv_state, new_ssm_state))
+            with ``return_state``, or (out, new_ssm_state) with
+            ``return_ssm_state``. New states keep the dtypes of the incoming
+            states (jit-stable pytrees); with no incoming state, conv_state
+            takes the input dtype and ssm_state is float32, like the
+            reference fresh-state path.
         """
         if state is not None and ssm_state is not None:
             raise ValueError("Pass either state or ssm_state, not both.")
+        if return_ssm_state and ssm_state is None:
+            raise ValueError("return_ssm_state requires ssm_state.")
         if inference_params is not None and state is not None:
             raise ValueError("state is not supported with inference_params.")
+        if inference_params is not None and return_ssm_state:
+            raise ValueError(
+                "return_ssm_state is not supported with inference_params; "
+                "the decode cache already carries the advanced state."
+            )
 
         if self.sp_axis is not None:
             # Sequence-parallel route: hidden_states is the local time shard
@@ -384,6 +399,7 @@ class Mamba:
                 self, params, hidden_states,
                 axis_name=self.sp_axis, state=state,
                 return_state=return_state, ssm_state=ssm_state,
+                return_ssm_state=return_ssm_state,
                 method=self.scan_method,
             )
 
@@ -427,7 +443,10 @@ class Mamba:
         if state is not None:
             conv_state, ssm_state = state
 
-        need_state = return_state
+        # return_state wants the full (conv, ssm) tuple; return_ssm_state
+        # wants only the advanced scan state (the reference's in-place path
+        # never builds a new conv window either, mamba_simple.py:380-393).
+        need_state = return_state or return_ssm_state
 
         xz = hidden_states @ params["in_proj"]["kernel"]
         if "bias" in params["in_proj"]:
@@ -462,12 +481,14 @@ class Mamba:
                 out = out + params["out_proj"]["bias"]
             if not need_state:
                 return out
-            new_conv_state = _conv_window(x, conv_state, self.d_conv)
-            if conv_state is not None:
-                new_conv_state = new_conv_state.astype(conv_state.dtype)
             new_ssm_state = (
                 h_last.astype(ssm_state.dtype) if ssm_state is not None else h_last
             )
+            if return_ssm_state:
+                return out, new_ssm_state
+            new_conv_state = _conv_window(x, conv_state, self.d_conv)
+            if conv_state is not None:
+                new_conv_state = new_conv_state.astype(conv_state.dtype)
             return out, (new_conv_state, new_ssm_state)
 
         # Conv stays on the XLA path: measured on v5e, the shifted-multiply
@@ -480,9 +501,9 @@ class Mamba:
             params["conv1d"].get("bias"),
             activation="silu",
             initial_state=conv_state,
-            return_final_state=need_state,
+            return_final_state=return_state,
         )
-        if need_state:
+        if return_state:
             conv_out, new_conv_state = conv_out
             if conv_state is not None:
                 new_conv_state = new_conv_state.astype(conv_state.dtype)
@@ -522,7 +543,9 @@ class Mamba:
         if "bias" in params["out_proj"]:
             out = out + params["out_proj"]["bias"]
 
-        if need_state:
+        if return_ssm_state:
+            return out, new_ssm_state
+        if return_state:
             return out, (new_conv_state, new_ssm_state)
         return out
 

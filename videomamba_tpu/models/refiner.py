@@ -97,22 +97,38 @@ class BiMambaRefinerBlock:
         x: Array,
         state_fwd: Optional[LayerState] = None,
         state_bwd_init: Optional[LayerState] = None,
+        use_checkpoint: bool = False,
     ) -> Tuple[Array, LayerState]:
-        """Returns (refined tokens, streamed forward state)."""
+        """Returns (refined tokens, streamed forward state).
+
+        ``use_checkpoint`` remats both inner Blocks (the reference threads it
+        into torch.utils.checkpoint, refiner_backbone.py:97,112,126; here it
+        is ``jax.checkpoint`` — activations are recomputed in the backward).
+        """
         x_seq, packed_shape = self._pack_tokens(x)
         bsz = x_seq.shape[0]
 
+        def run_fwd(p, xs, st):
+            return self.block_fwd(p, xs, state=st, return_state=True)
+
+        def run_bwd(p, xs, st):
+            return self.block_bwd(p, xs, state=st, return_state=True)
+
+        if use_checkpoint:
+            run_fwd = jax.checkpoint(run_fwd)
+            run_bwd = jax.checkpoint(run_bwd)
+
         if state_fwd is None:
             state_fwd = self.block_fwd.mixer.allocate_state(bsz, dtype=x_seq.dtype)
-        out_fwd, _, new_state_fwd = self.block_fwd(
-            params["block_fwd"], x_seq, state=state_fwd, return_state=True
+        out_fwd, _, new_state_fwd = run_fwd(
+            params["block_fwd"], x_seq, tuple(state_fwd)
         )
 
         if state_bwd_init is None:
             state_bwd_init = self.block_bwd.mixer.allocate_state(bsz, dtype=x_seq.dtype)
         x_rev = self._flip_time(x_seq, packed_shape)
-        out_bwd_rev, _, _ = self.block_bwd(
-            params["block_bwd"], x_rev, state=state_bwd_init, return_state=True
+        out_bwd_rev, _, _ = run_bwd(
+            params["block_bwd"], x_rev, tuple(state_bwd_init)
         )
         out_bwd = self._flip_time(out_bwd_rev, packed_shape)
 

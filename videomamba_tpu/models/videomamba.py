@@ -551,8 +551,16 @@ class PretrainVideoMamba:
                         p, h, residual=r, state=tuple(ls), return_state=True,
                         drop_path_key=rngs[_idx], deterministic=deterministic,
                     )
+                if ls is not None:
+                    # Bare ssm_state: the reference advances the caller's
+                    # tensor in place (mamba_simple.py:427-439); the
+                    # functional equivalent is returning the advanced array.
+                    return _layer(
+                        p, h, residual=r, ssm_state=ls, return_ssm_state=True,
+                        drop_path_key=rngs[_idx], deterministic=deterministic,
+                    )
                 out_h, out_r = _layer(
-                    p, h, residual=r, ssm_state=ls,
+                    p, h, residual=r,
                     drop_path_key=rngs[_idx], deterministic=deterministic,
                 )
                 return out_h, out_r, None
@@ -564,7 +572,7 @@ class PretrainVideoMamba:
                 params["layers"][idx], hidden_states, residual, layer_state
             )
             if new_states is not None:
-                new_states[idx] = updated if is_full else layer_state
+                new_states[idx] = updated
 
         # Final norm, prenorm=False (videomamba.py:896-918).
         if not deterministic and self.drop_path_rate > 0.0 and rngs[-1] is not None:
@@ -646,16 +654,23 @@ class PretrainVideoMamba:
         # Canonicalize state for the core; remember container type.
         state_list, container, any_full = self._canonicalize_state(ssm_state)
 
+        has_state = state_list is not None
         core = self._get_core(
-            (has_cls, any_full, vis_arr is not None, state_list is not None,
-             deterministic)
+            (has_cls, has_state, vis_arr is not None, has_state, deterministic)
         )
         x_vis, new_states = core(
             p, x, spatial_pos, temporal_pos, vis_arr, state_list, rng
         )
 
-        if any_full and new_states is not None:
-            out_state = self._repack_state(new_states, container)
+        if new_states is not None:
+            # Advanced states, same container type as passed in. For bare
+            # ssm-only states this is the functional equivalent of the
+            # reference's in-place ssm_state.copy_(last_state)
+            # (mamba_simple.py:427-439) followed by returning the original
+            # container (videomamba.py:930-941).
+            out_state = self._repack_state(
+                new_states, container, allow_missing=not any_full
+            )
             return x_vis, out_state
         if ssm_state is None:
             return x_vis
@@ -680,12 +695,23 @@ class PretrainVideoMamba:
         items = [tuple(s) if isinstance(s, (list, tuple)) else s for s in items]
         return items, container, any_full
 
-    def _repack_state(self, states: List[LayerState], container: str) -> StateCollection:
-        for s in states:
-            if s is None:
-                raise ValueError("Expected full state for all layers.")
+    def _repack_state(
+        self, states: List[LayerState], container: str, allow_missing: bool = False
+    ) -> StateCollection:
+        """Rebuild the caller's container from per-layer advanced states.
+
+        ``allow_missing`` covers ssm-only collections where some layers have
+        no state (e.g. a dict missing keys): those layers ran stateless in
+        the reference too (videomamba.py:591-600 returns None, the layer is
+        called without state), so the entry stays absent/None. Full-state
+        collections must cover every layer (reference asserts the same).
+        """
+        if not allow_missing:
+            for s in states:
+                if s is None:
+                    raise ValueError("Expected full state for all layers.")
         if container == "dict":
-            return {i: states[i] for i in range(len(states))}
+            return {i: s for i, s in enumerate(states) if s is not None}
         if container == "tuple":
             return tuple(states)
         return list(states)

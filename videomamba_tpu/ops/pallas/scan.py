@@ -27,6 +27,18 @@ The public entry :func:`scan_chunked_pallas` takes/returns the same
 accumulation, everything VMEM-resident). The hand-derived chunked-XLA
 backward in selective_scan.py remains the exact fallback and the gradient
 oracle both are tested against.
+
+Activation-memory cost of ``checkpoints=True``: one f32 state per 8-step
+group — (B, L/8, N, D) per layer, ~19 MB per batch element at Base shapes
+(L=12544, N=16, D=1536), live across all layers during training. That is a
+~16-32x denser residual than one-state-per-time-block, bought deliberately:
+it is what lets the backward kernel skip its own forward-recompute pass
+(train step 117.9 -> 83.5 ms at Base). Memory-constrained configs can drop
+to the recompute backward (VIDEOMAMBA_BLOCK_BWD=composite, or
+use_fast_path=False), which stores only block-entry states; a finer
+checkpoint-stride knob inside the kernel is possible but would need the
+backward to re-run group-level forward steps — not worth it until a real
+config is HBM-bound here (it would also slow the backward ~proportionally).
 """
 
 from __future__ import annotations

@@ -156,6 +156,7 @@ def sequence_parallel_mixer(
     state: Optional[LayerState] = None,
     return_state: bool = False,
     ssm_state: Optional[Array] = None,
+    return_ssm_state: bool = False,
     method: Optional[str] = None,
 ) -> Union[Array, Tuple[Array, LayerState]]:
     """Full Mamba mixer over a time-sharded sequence (call inside shard_map).
@@ -246,15 +247,20 @@ def sequence_parallel_mixer(
     if "bias" in params["out_proj"]:
         out = out + params["out_proj"]["bias"]
 
-    if not return_state:
+    if not return_state and not return_ssm_state:
         return out
+
+    new_ssm_state = (
+        h_last.astype(ssm_state.dtype) if ssm_state is not None else h_last
+    )
+    if return_ssm_state:
+        # Functional stand-in for the reference's in-place advancement
+        # (mamba_simple.py:419-439): bare advanced SSM state, no conv window.
+        return out, new_ssm_state
 
     # Global-sequence states, replicated: conv window of the LAST shard,
     # h_last is already replicated by the scan's combine.
     new_conv_state = lax.all_gather(local_window, axis_name)[num - 1]
     if conv_state is not None:
         new_conv_state = new_conv_state.astype(conv_state.dtype)
-    new_ssm_state = (
-        h_last.astype(ssm_state.dtype) if ssm_state is not None else h_last
-    )
     return out, (new_conv_state, new_ssm_state)
