@@ -212,6 +212,9 @@ def _block_bwd_kernel(
 
     a_t = at_ref[:]
     dskip_row = dskip_ref[0][None, :]
+    # 2-D (8N, Di) group layout — see mixer_bwd.py (25% faster than 3-D on
+    # v5e, scripts/exp_bwd_walk.py).
+    a_rep = jnp.concatenate([a_t] * group, axis=0)
 
     # ---- reverse scan walk (math identical to mixer_bwd).
     def bwd_body(gi, s):
@@ -227,42 +230,74 @@ def _block_bwd_kernel(
         b8 = xdbl_scr[pl.ds(base, group), PACK:PACK + n]
         c8 = xdbl_scr[pl.ds(base, group), 2 * PACK:2 * PACK + n]
 
-        dA8 = jnp.exp(d_rows[:, None, :] * a_t[None, :, :])
-        dub8 = b8[:, :, None] * du_rows[:, None, :]
-        dyc8 = c8[:, :, None] * g2_rows[:, None, :]
+        di = d_rows.shape[1]
+        d_rep = jnp.concatenate(
+            [jnp.broadcast_to(d_rows[k:k + 1], (n, di)) for k in range(group)],
+            axis=0)
+        du_rep = jnp.concatenate(
+            [jnp.broadcast_to(du_rows[k:k + 1], (n, di))
+             for k in range(group)], axis=0)
+        g2_rep = jnp.concatenate(
+            [jnp.broadcast_to(g2_rows[k:k + 1], (n, di))
+             for k in range(group)], axis=0)
+        b_flat = jnp.concatenate(
+            [b8[k][:, None] for k in range(group)], axis=0)
+        c_flat = jnp.concatenate(
+            [c8[k][:, None] for k in range(group)], axis=0)
+        dA2 = jnp.exp(d_rep * a_rep)
+        dub2 = b_flat * du_rep
+        dyc2 = c_flat * g2_rep
 
         h = hckpt_ref[0, gidx].astype(jnp.float32)
         hs = [h]
         for k in range(group):
-            h = dA8[k] * h + dub8[k]
+            blk = slice(k * n, (k + 1) * n)
+            h = dA2[blk] * h + dub2[blk]
             hs.append(h)
-        hprev8 = jnp.stack(hs[:-1], axis=0)
-        ht8 = jnp.stack(hs[1:], axis=0)
+        hprev2 = jnp.concatenate(hs[:-1], axis=0)
+        ht2 = jnp.concatenate(hs[1:], axis=0)
 
         dhs = [None] * group
         for k in reversed(range(group)):
-            dh = dyc8[k] + s
+            blk = slice(k * n, (k + 1) * n)
+            dh = dyc2[blk] + s
             dhs[k] = dh
-            s = dA8[k] * dh
-        dh8 = jnp.stack(dhs, axis=0)
+            s = dA2[blk] * dh
+        dh2 = jnp.concatenate(dhs, axis=0)
 
-        da_a8 = dh8 * hprev8 * dA8
-        da_scr[:] += jnp.sum(da_a8 * d_rows[:, None, :], axis=0)
-        term1 = jnp.sum(da_a8 * a_t[None], axis=1)
-        sB8 = jnp.sum(dh8 * b8[:, :, None], axis=1)
+        da_a2 = dh2 * hprev2 * dA2
+        da_a_d = da_a2 * d_rep
+        acc = da_a_d[0:n]
+        for k in range(1, group):
+            acc = acc + da_a_d[k * n:(k + 1) * n]
+        da_scr[:] += acc
+        t1_full = da_a2 * a_rep
+        sB_full = dh2 * b_flat
+        term1 = jnp.concatenate(
+            [jnp.sum(t1_full[k * n:(k + 1) * n], axis=0, keepdims=True)
+             for k in range(group)], axis=0)
+        sB8 = jnp.concatenate(
+            [jnp.sum(sB_full[k * n:(k + 1) * n], axis=0, keepdims=True)
+             for k in range(group)], axis=0)
         ddelta = term1 + u_rows * sB8
         ddelta_raw8 = ddelta * (1.0 - jnp.exp(-d_rows))
         dbs_scr[:] += jnp.sum(ddelta_raw8, axis=0, keepdims=True)
         ddsk_scr[:] += jnp.sum(g2_rows * u_rows, axis=0, keepdims=True)
         ddelta_scr[pl.ds(base, group), :] = ddelta_raw8
         dcy_scr[pl.ds(base, group), :] = d_rows * sB8 + g2_rows * dskip_row
+        dh8 = jnp.stack(dhs, axis=0)
+        ht8 = jnp.stack(
+            [ht2[k * n:(k + 1) * n] for k in range(group)], axis=0)
         dbc_scr[pl.ds(base, group), :n] = jnp.sum(
             dh8 * du_rows[:, None, :], axis=2
         )
         dbc_scr[pl.ds(base, group), PACK:PACK + n] = jnp.sum(
             ht8 * g2_rows[:, None, :], axis=2
         )
-        pre = jnp.sum(c8[:, :, None] * ht8, axis=1)
+        pre_full2 = ht2 * c_flat
+        pre = jnp.concatenate(
+            [jnp.sum(pre_full2[k * n:(k + 1) * n], axis=0, keepdims=True)
+             for k in range(group)], axis=0)
         pre_full = pre + u_rows * dskip_row
         silu_z = zf * sig
         y_scr[pl.ds(base, group), :] = pre_full * silu_z

@@ -387,6 +387,12 @@ def _scan_bwd_kernel(
     a_t = at_ref[:]                                  # (N, dt)
     dskip_row = dskip_ref[0][None, :]                # (1, dt)
     dbias_row = dbias_ref[0][None, :]
+    n = a_t.shape[0]
+    # 2-D (8N, dt) group layout (round-3): 25% faster than the 3-D
+    # (8, N, dt) structure on v5e — Mosaic relayouts on 3-D broadcasts and
+    # axis-reductions were the cost (scripts/exp_bwd_walk.py). Only the
+    # (8, N)-output dB/dC lane reductions stay 3-D.
+    a_rep = jnp.concatenate([a_t] * group, axis=0)   # (8N, dt)
 
     def bwd_body(gi, s):
         gidx = num_groups - 1 - gi
@@ -407,33 +413,59 @@ def _scan_bwd_kernel(
         b8 = b_ref[0, pl.ds(base, group), :].astype(jnp.float32)  # (8, N)
         c8 = c_ref[0, pl.ds(base, group), :].astype(jnp.float32)
 
-        dA8 = jnp.exp(d_rows[:, None, :] * a_t[None, :, :])      # (8, N, dt)
-        dub8 = b8[:, :, None] * du_rows[:, None, :]              # (8, N, dt)
-        dyc8 = c8[:, :, None] * g2_rows[:, None, :]              # (8, N, dt)
+        dt_w = d_rows.shape[1]
+        d_rep = jnp.concatenate(
+            [jnp.broadcast_to(d_rows[k:k + 1], (n, dt_w))
+             for k in range(group)], axis=0)
+        du_rep = jnp.concatenate(
+            [jnp.broadcast_to(du_rows[k:k + 1], (n, dt_w))
+             for k in range(group)], axis=0)
+        g2_rep = jnp.concatenate(
+            [jnp.broadcast_to(g2_rows[k:k + 1], (n, dt_w))
+             for k in range(group)], axis=0)
+        b_flat = jnp.concatenate(
+            [b8[k][:, None] for k in range(group)], axis=0)       # (8N, 1)
+        c_flat = jnp.concatenate(
+            [c8[k][:, None] for k in range(group)], axis=0)
+        dA2 = jnp.exp(d_rep * a_rep)                              # (8N, dt)
+        dub2 = b_flat * du_rep
+        dyc2 = c_flat * g2_rep
 
         # Serial chain 1: rebuild pre-update states from the group entry
         # (cast-up: the fused-mixer forward may checkpoint in bf16).
         h = hckpt_ref[0, gidx].astype(jnp.float32)               # (N, dt)
         hs = []
         for k in range(group):
+            blk = slice(k * n, (k + 1) * n)
             hs.append(h)
-            h = dA8[k] * h + dub8[k]
-        hprev8 = jnp.stack(hs, axis=0)                           # (8, N, dt)
+            h = dA2[blk] * h + dub2[blk]
+        hprev2 = jnp.concatenate(hs, axis=0)                     # (8N, dt)
 
         # Serial chain 2: reverse cotangent carry s_t = a_{t+1} dh_{t+1}.
         dhs = [None] * group
         for k in reversed(range(group)):
-            dh = dyc8[k] + s
+            blk = slice(k * n, (k + 1) * n)
+            dh = dyc2[blk] + s
             dhs[k] = dh
-            s = dA8[k] * dh
-        dh8 = jnp.stack(dhs, axis=0)                             # (8, N, dt)
+            s = dA2[blk] * dh
+        dh2 = jnp.concatenate(dhs, axis=0)                       # (8N, dt)
 
-        # Batched gradient terms.
-        ht8 = dA8 * hprev8 + dub8
-        da_a8 = dh8 * hprev8 * dA8
-        da_scr[:] += jnp.sum(da_a8 * d_rows[:, None, :], axis=0)
-        term1 = jnp.sum(da_a8 * a_t[None], axis=1)               # (8, dt)
-        sB8 = jnp.sum(dh8 * b8[:, :, None], axis=1)              # (8, dt)
+        # Batched gradient terms (2-D; per-k N-block sublane reductions).
+        ht2 = dA2 * hprev2 + dub2
+        da_a2 = dh2 * hprev2 * dA2
+        da_a_d = da_a2 * d_rep
+        acc = da_a_d[0:n]
+        for k in range(1, group):
+            acc = acc + da_a_d[k * n:(k + 1) * n]
+        da_scr[:] += acc
+        t1_full = da_a2 * a_rep
+        sB_full = dh2 * b_flat
+        term1 = jnp.concatenate(
+            [jnp.sum(t1_full[k * n:(k + 1) * n], axis=0, keepdims=True)
+             for k in range(group)], axis=0)                     # (8, dt)
+        sB8 = jnp.concatenate(
+            [jnp.sum(sB_full[k * n:(k + 1) * n], axis=0, keepdims=True)
+             for k in range(group)], axis=0)
         ddelta = term1 + u_rows * sB8
         if softplus:
             ddelta_raw = ddelta * (1.0 - jnp.exp(-d_rows))
@@ -445,6 +477,9 @@ def _scan_bwd_kernel(
         du_ref[0, pl.ds(base, group), :] = (
             d_rows * sB8 + g2_rows * dskip_row
         ).astype(du_ref.dtype)
+        dh8 = jnp.stack(dhs, axis=0)                             # (8, N, dt)
+        ht8 = jnp.stack(
+            [ht2[k * n:(k + 1) * n] for k in range(group)], axis=0)
         db_ref[0, 0, pl.ds(base, group), :] = jnp.sum(
             dh8 * du_rows[:, None, :], axis=2
         )
@@ -452,7 +487,10 @@ def _scan_bwd_kernel(
             ht8 * g2_rows[:, None, :], axis=2
         )
         if has_z:
-            pre = jnp.sum(c8[:, :, None] * ht8, axis=1)          # (8, dt)
+            pre_full2 = ht2 * c_flat
+            pre = jnp.concatenate(
+                [jnp.sum(pre_full2[k * n:(k + 1) * n], axis=0, keepdims=True)
+                 for k in range(group)], axis=0)                 # (8, dt)
             pre_full = pre + u_rows * dskip_row
             dz = g_rows * pre_full * (sig * (1.0 + zf * (1.0 - sig)))
             dz_ref[0, pl.ds(base, group), :] = dz.astype(dz_ref.dtype)
