@@ -153,6 +153,35 @@ def test_sharded_step_matches_single_device_no_fast_path(single_device_step):
     assert abs(gn - gn0) <= 1e-5 * max(1.0, abs(gn0))
 
 
+@pytest.mark.slow
+def test_hybrid_mesh_matches_single_device(single_device_step):
+    """make_hybrid_mesh with (dcn, ici) factors: on single-slice devices it
+    degrades to the product mesh; the sharded step must still match the
+    single-device baseline (dp over "DCN", fsdp/tp on "ICI")."""
+    from videomamba_tpu.parallel import make_hybrid_mesh
+
+    mesh = make_hybrid_mesh(
+        {"dp": (2, 1), "fsdp": (1, 2), "tp": (1, 2)},
+        devices=jax.devices()[:8],
+    )
+    assert dict(mesh.shape) == {"dp": 2, "fsdp": 2, "tp": 2}
+
+    model = build_model()
+    tx = optax.adamw(1e-3, weight_decay=0.05)
+    batch = make_batch()
+    step_fn = make_train_step(model, tx, donate=False)
+    with mesh:
+        params, opt_state, step = init_train_state(model, tx, mesh=mesh)
+        data_sh = batch_sharding(mesh, "dp", "fsdp")
+        batch = jax.device_put(batch, data_sh)
+        _, _, _, metrics = step_fn(
+            params, opt_state, step, batch, jax.random.PRNGKey(0)
+        )
+    loss0, gn0, _ = single_device_step
+    assert abs(float(metrics["loss"]) - loss0) <= 1e-5 * max(1.0, abs(loss0))
+    assert abs(float(metrics["grad_norm"]) - gn0) <= 1e-5 * max(1.0, abs(gn0))
+
+
 # ------------------------------------------------------------- (b) shardings
 
 def test_mixer_weights_actually_sharded():

@@ -4,6 +4,7 @@ collectives)."""
 
 from videomamba_tpu.parallel.mesh import (
     batch_sharding,
+    make_hybrid_mesh,
     make_mesh,
     param_shardings,
     replicated,
@@ -18,6 +19,7 @@ from videomamba_tpu.parallel.train_step import (
 __all__ = [
     "batch_sharding",
     "init_train_state",
+    "make_hybrid_mesh",
     "make_mesh",
     "make_train_step",
     "param_shardings",

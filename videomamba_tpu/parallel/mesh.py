@@ -51,6 +51,38 @@ def make_mesh(
     return Mesh(dev_mesh, names)
 
 
+def make_hybrid_mesh(
+    axis_factors: Dict[str, "tuple[int, int]"],
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Multi-slice mesh: per-axis (dcn, ici) factors, e.g.
+    ``make_hybrid_mesh({"dp": (2, 1), "fsdp": (1, 4), "tp": (1, 2)})`` for
+    2 slices x 8 chips.
+
+    Axes that cross slices (dcn factor > 1) should carry only
+    low-bandwidth collectives — put dp (one gradient psum per step) on DCN
+    and keep fsdp/tp all-gathers on ICI. Uses
+    ``mesh_utils.create_hybrid_device_mesh`` when the device set spans
+    multiple slices; on a single slice (or virtual CPU devices, which have
+    no slice topology) it degrades to an ordinary mesh of the elementwise
+    products, so the same config runs everywhere.
+    """
+    names = tuple(axis_factors.keys())
+    dcn = tuple(int(v[0]) for v in axis_factors.values())
+    ici = tuple(int(v[1]) for v in axis_factors.values())
+    if devices is None:
+        devices = jax.devices()
+    devices = list(devices)
+    num_slices = len({getattr(d, "slice_index", 0) for d in devices})
+    if num_slices > 1:
+        dev_mesh = mesh_utils.create_hybrid_device_mesh(
+            ici, dcn, devices=devices
+        )
+        return Mesh(dev_mesh, names)
+    total = {n: d * i for n, d, i in zip(names, dcn, ici)}
+    return make_mesh(total, devices=devices)
+
+
 def _axis_size(mesh: Mesh, name: str) -> int:
     return mesh.shape[name] if name in mesh.axis_names else 1
 
