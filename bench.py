@@ -222,6 +222,69 @@ def bench_train_step(preset_fn, name, num_frames, batch_size, quick):
     }
 
 
+def bench_train_step_donated(preset_fn, name, num_frames, batch_size, quick):
+    """Production train recipe: one jit call per step with DONATED buffers
+    (params/opt-state reuse across the program boundary — what a real
+    trainer runs), timed as a dependent chain of separate dispatches.
+
+    Differs from bench_train_step (N steps inside one fori_loop program,
+    which hides the per-call boundary): this measures the steady-state
+    per-step time including donation-enabled buffer handoff.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from videomamba_tpu.parallel.train_step import make_train_step
+
+    model = preset_fn(num_frames=num_frames)
+    tx = optax.adamw(1e-4, weight_decay=0.05)
+
+    key = jax.random.PRNGKey(0)
+    video = jax.random.normal(
+        key, (batch_size, 3, num_frames, 224, 224), jnp.float32)
+    out_shape = jax.eval_shape(
+        lambda p, v: model.apply(p, v, deterministic=True),
+        model.params, video)
+    x_vis = out_shape[0] if isinstance(out_shape, tuple) else out_shape
+    target = jnp.zeros(x_vis.shape, jnp.float32)
+    batch = {"video": video, "target": target}
+    rng = jax.random.PRNGKey(1)
+
+    train_step = make_train_step(
+        model, tx, compute_dtype=jnp.bfloat16, donate=True)
+
+    def fresh_carry():
+        params = jax.tree_util.tree_map(jnp.copy, model.params)
+        opt_state = jax.jit(tx.init)(params)
+        return params, opt_state, jnp.zeros((), jnp.int32)
+
+    def chain(k):
+        p, o, s = fresh_carry()
+        m = None
+        for _ in range(k):
+            p, o, s, m = train_step(p, o, s, batch, rng)
+        jax.device_get(m["loss"])
+
+    chain(2)  # compile + warm
+    n_small, n_big = (2, 5) if quick else (2, 10)
+    samples = []
+    for _ in range(2 if quick else 3):
+        t0 = time.perf_counter()
+        chain(n_big)
+        t1 = time.perf_counter()
+        chain(n_small)
+        t2 = time.perf_counter()
+        samples.append(max(((t1 - t0) - (t2 - t1)) / (n_big - n_small), 1e-9))
+    sec = sorted(samples)[len(samples) // 2]
+    tokens = 1 + num_frames * (224 // 16) * (224 // 16)
+    flops = 3 * model_forward_flops(model, batch_size, tokens)
+    return {
+        f"{name}_step_ms": sec * 1e3,
+        f"{name}_mfu": flops / sec / PEAK_FLOPS,
+    }
+
+
 def bench_parity():
     import jax
     import jax.numpy as jnp
@@ -239,6 +302,44 @@ def bench_parity():
     b = full.astype(jnp.float32)
     rel = float(jnp.max(jnp.abs(a - b)) / jnp.maximum(jnp.max(jnp.abs(b)), 1e-6))
     return {"tiny_chunked_vs_full_rel_err": rel}
+
+
+def bench_soak(chunks: int = 64, chunk_frames: int = 4):
+    """Long-stream soak: many consecutive carried-state chunks vs one full
+    run. Catches slow state drift that a 2-chunk parity check cannot
+    (accumulated fp error in the carried (conv, ssm) states)."""
+    import jax
+    import jax.numpy as jnp
+
+    from videomamba_tpu.models.presets import videomamba_tiny
+
+    frames = chunks * chunk_frames
+    model = videomamba_tiny(num_frames=frames, add_pool_norm=False, rng=0)
+    x = jax.random.normal(
+        jax.random.PRNGKey(1), (1, 3, frames, 224, 224), jnp.float32)
+    full = model(x)
+    state = model.allocate_state(1)
+    outs = []
+    offset = 0
+    for i in range(chunks):
+        c = x[:, :, i * chunk_frames:(i + 1) * chunk_frames]
+        out, state = model(c, ssm_state=state, temporal_pos_offset=offset)
+        outs.append(out)
+        offset += chunk_frames
+    stitched = jnp.concatenate(outs, axis=1).astype(jnp.float32)
+    b = full.astype(jnp.float32)
+    rel = float(jnp.max(jnp.abs(stitched - b))
+                / jnp.maximum(jnp.max(jnp.abs(b)), 1e-6))
+    # Worst per-chunk error vs the aligned slice of the full run — a drift
+    # signature would show this growing with chunk index.
+    last = outs[-1].astype(jnp.float32)
+    b_last = b[:, -last.shape[1]:]
+    rel_last = float(jnp.max(jnp.abs(last - b_last))
+                     / jnp.maximum(jnp.max(jnp.abs(b_last)), 1e-6))
+    return {
+        f"tiny_soak{chunks}_vs_full_rel_err": rel,
+        f"tiny_soak{chunks}_last_chunk_rel_err": rel_last,
+    }
 
 
 def main():
@@ -275,11 +376,34 @@ def main():
     details.update(
         bench_full_clip(videomamba_middle, "middle_clip16", 16, 4, "bf16", args.quick)
     )
+    # High-occupancy MFU point: 16 independent streams per chip.
+    try:
+        details.update(
+            bench_streaming(
+                videomamba_base, "base_stream_b16", 64, 16, "bf16", args.quick
+            )
+        )
+    except Exception as e:  # round-2 saw remote-compile 500s at this size
+        print(f"# base_stream_b16 skipped: {type(e).__name__}: {e}",
+              flush=True)
     details.update(
         bench_train_step(videomamba_base, "base_train", 8, 4, args.quick)
     )
+    try:
+        details.update(
+            bench_train_step_donated(
+                videomamba_base, "base_train_donated", 8, 4, args.quick
+            )
+        )
+    except Exception as e:
+        print(f"# base_train_donated skipped: {type(e).__name__}: {e}",
+              flush=True)
     if not args.skip_parity:
         details.update(bench_parity())
+        try:
+            details.update(bench_soak())
+        except Exception as e:
+            print(f"# soak skipped: {type(e).__name__}: {e}", flush=True)
 
     fps = details["base_stream_frames_per_sec"]
     result = {

@@ -35,3 +35,11 @@ def test_chain_samples_measures_positive_time():
 def test_bench_parity_runs_on_cpu():
     out = bench.bench_parity()
     assert out["tiny_chunked_vs_full_rel_err"] < 1e-3
+
+
+@pytest.mark.slow
+def test_bench_soak_runs_on_cpu():
+    """Small-scale soak smoke (the TPU run uses 64 chunks)."""
+    out = bench.bench_soak(chunks=3, chunk_frames=2)
+    assert out["tiny_soak3_vs_full_rel_err"] < 1e-3
+    assert out["tiny_soak3_last_chunk_rel_err"] < 1e-3
