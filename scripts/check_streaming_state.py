@@ -17,6 +17,17 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Honor JAX_PLATFORMS even when a site plugin claims the backend regardless
+# of the env var (observed with tunneled-TPU plugins): pin via jax.config,
+# which wins as long as the backend is not yet initialized.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 
 def _build_arg_parser() -> argparse.ArgumentParser:
     from videomamba_tpu.determinism import add_determinism_args
