@@ -191,6 +191,34 @@ def _walk_kernel(
 
         h_final = lax.fori_loop(0, block_l // group, body, h_scratch[:])
 
+    elif variant == "chainbf16":
+        # ABLATION: pure recurrence with the 2-op chain in bf16 (h carry,
+        # dA, du all bf16). Tests whether the VPU issues packed bf16
+        # elementwise ops at 2x the f32 rate — if yes, a mixed-precision
+        # walk (bf16 chain, fp32 group checkpoints) would halve serving
+        # walk time. NOT numerically correct (ablation only).
+        b_fix = (at_ref[:, 0:1] * 0.0 + 1.0).astype(jnp.bfloat16)
+
+        def body(g, h):
+            base = pl.multiple_of(g * group, group)
+            dr = delta_scr[pl.ds(base, group), :]
+            du_rows = du_scr[pl.ds(base, group), :]
+            dA8 = jnp.exp(
+                dr[:, None, :] * a_t[None, :, :]
+            ).astype(jnp.bfloat16)
+            du8 = du_rows.astype(jnp.bfloat16)
+            for k in range(group):
+                h = dA8[k] * h + du8[k:k + 1, :] * b_fix
+            yacc_scr[pl.ds(base, group), :] = (
+                du_rows + h[0:1, :].astype(jnp.float32)
+            )
+            return h
+
+        h_final = lax.fori_loop(
+            0, block_l // group, body,
+            h_scratch[:].astype(jnp.bfloat16),
+        ).astype(jnp.float32)
+
     elif variant == "noexp":
         # ABLATION: chain without the per-group batched exp (dA8 replaced by
         # delta rows broadcast) — isolates the exp/broadcast cost.
