@@ -318,6 +318,8 @@ class Block:
     def _use_block_fused(self, params: Params) -> bool:
         """Whole-block fusion gate: fused norms + fast-path mixer + no
         in/out-proj biases (the reference default) + VMEM-sized weights."""
+        if not getattr(self.mixer, "supports_block_fusion", True):
+            return False  # e.g. Mamba2: the SSD path is already MXU-native
         if not (self.fused_add_norm and self.mixer.use_fast_path):
             return False
         if self.mixer.sp_axis is not None:
@@ -444,11 +446,24 @@ def create_block(
 ) -> Block:
     """Block factory (videomamba.py:256-291). Like the reference, the inner
     mixer is always unidirectional (``bimamba=False`` forced on the Mamba);
-    bidirectionality is composed externally."""
+    bidirectionality is composed externally.
+
+    ``ssm_cfg={"layer": "Mamba2", ...}`` selects the SSD mixer
+    (models/mamba2.py) — the mamba_ssm ``ssm_cfg`` layer-key convention. No
+    reference counterpart (the reference is Mamba-1 only); see the mamba2
+    module docstring for why it exists."""
     del bimamba  # accepted for config parity; mixer below is unidirectional
     ssm_cfg = dict(ssm_cfg or {})
     ssm_cfg.pop("bimamba", None)
-    mixer = Mamba(d_model=d_model, layer_idx=layer_idx, bimamba=False, **ssm_cfg)
+    layer_kind = str(ssm_cfg.pop("layer", "Mamba"))
+    if layer_kind == "Mamba2":
+        from videomamba_tpu.models.mamba2 import Mamba2
+
+        mixer = Mamba2(d_model=d_model, layer_idx=layer_idx, **ssm_cfg)
+    elif layer_kind == "Mamba":
+        mixer = Mamba(d_model=d_model, layer_idx=layer_idx, bimamba=False, **ssm_cfg)
+    else:
+        raise ValueError(f"unknown ssm_cfg layer {layer_kind!r}")
     return Block(
         dim=d_model,
         mixer=mixer,

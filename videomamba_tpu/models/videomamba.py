@@ -235,18 +235,18 @@ class PretrainVideoMamba:
             sub = jax.random.split(bk, 6)
             mx: Params = p["mixer"]
             d_in = block.mixer.d_inner
-            r = block.mixer.dt_rank_
             # segm_init: trunc_normal(0.02) all Linear weights, zero biases.
             mx["in_proj"]["kernel"] = init.trunc_normal(
                 sub[0], mx["in_proj"]["kernel"].shape, 0.02
             ).astype(dtype)
-            mx["x_proj"]["kernel"] = init.trunc_normal(
-                sub[1], mx["x_proj"]["kernel"].shape, 0.02
-            ).astype(dtype)
-            mx["dt_proj"]["kernel"] = init.trunc_normal(
-                sub[2], mx["dt_proj"]["kernel"].shape, 0.02
-            ).astype(dtype)
-            mx["dt_proj"]["bias"] = jnp.zeros_like(mx["dt_proj"]["bias"])
+            if "x_proj" in mx:  # Mamba-1 mixer (Mamba2 folds B/C/dt into in_proj)
+                mx["x_proj"]["kernel"] = init.trunc_normal(
+                    sub[1], mx["x_proj"]["kernel"].shape, 0.02
+                ).astype(dtype)
+                mx["dt_proj"]["kernel"] = init.trunc_normal(
+                    sub[2], mx["dt_proj"]["kernel"].shape, 0.02
+                ).astype(dtype)
+                mx["dt_proj"]["bias"] = jnp.zeros_like(mx["dt_proj"]["bias"])
             # GPT-2 rescale: kaiming_uniform(a=sqrt(5)) / sqrt(n_layer).
             mx["out_proj"]["kernel"] = (
                 init.kaiming_uniform(sub[3], mx["out_proj"]["kernel"].shape, fan_in=d_in)
@@ -328,6 +328,13 @@ class PretrainVideoMamba:
         shapes: Dict[int, StateShape] = {}
         for idx, layer in enumerate(self.layers):
             m = layer.mixer
+            state_shapes = getattr(m, "state_shapes", None)
+            if callable(state_shapes):  # e.g. Mamba2's 4-D SSM state
+                conv_shape, ssm_shape = state_shapes(batch_size)
+                shapes[idx] = StateShape(
+                    conv_state=tuple(conv_shape), ssm_state=tuple(ssm_shape)
+                )
+                continue
             shapes[idx] = StateShape(
                 conv_state=(batch_size, m.d_inner, m.d_conv),
                 ssm_state=(batch_size, m.d_inner, m.d_state),

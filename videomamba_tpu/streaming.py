@@ -29,8 +29,8 @@ StreamingState = Union[List[LayerState], Tuple[LayerState, ...], Dict[int, Layer
 
 @dataclass(frozen=True)
 class StateShape:
-    conv_state: Tuple[int, int, int]
-    ssm_state: Tuple[int, int, int]
+    conv_state: Tuple[int, ...]
+    ssm_state: Tuple[int, ...]
 
 
 @dataclass(frozen=True)
@@ -77,6 +77,16 @@ def expected_state_shapes(model: _ModelLike, batch_size: int) -> Dict[int, State
         mixer = getattr(layer, "mixer", None)
         if mixer is None:
             raise TypeError(f"Layer {idx} does not expose a mixer attribute.")
+        # Mixers with non-Mamba-1 state layouts (e.g. Mamba2's 4-D SSM state)
+        # publish their shapes directly; the frozen d_inner-based derivation
+        # below stays the contract for the classic mixer.
+        state_shapes = getattr(mixer, "state_shapes", None)
+        if callable(state_shapes):
+            conv_shape, ssm_shape = state_shapes(batch_size)
+            shapes[idx] = StateShape(
+                conv_state=tuple(conv_shape), ssm_state=tuple(ssm_shape)
+            )
+            continue
         try:
             d_inner = int(getattr(mixer, "d_inner"))
             d_conv = int(getattr(mixer, "d_conv"))
