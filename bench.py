@@ -113,6 +113,24 @@ def model_forward_flops(model, batch_size, num_tokens):
     T = batch_size * num_tokens
     d = model.embed_dim
     mix = model.layers[0].mixer
+    if not hasattr(mix, "dt_rank_"):
+        # Mamba-2 (SSD) mixer: fused in_proj, conv over [x B C], chunked
+        # matmul scan (CB^T + two O(Q) contractions + state in/out).
+        di, n, w = mix.d_inner, mix.d_state, mix.d_conv
+        g, h, q = mix.ngroups, mix.nheads, mix.chunk_size
+        cdim = mix.conv_dim
+        per_layer = (
+            2 * T * d * (2 * di + 2 * g * n + h)  # in_proj
+            + 2 * T * cdim * w                    # depthwise conv
+            + 2 * T * q * g * n                   # CB^T
+            + 2 * 2 * T * q * di                  # intra Y + chunk states
+            + 2 * 2 * T * n * di                  # state write/read (inter)
+            + 6 * T * di                          # gate + gated RMSNorm
+            + 2 * T * di * d                      # out_proj
+            + 10 * T * d                          # add + norm
+        )
+        patch = 2 * T * model.patch_embed.patch_dim * d
+        return model.depth * per_layer + patch
     di, r, n, w = mix.d_inner, mix.dt_rank_, mix.d_state, mix.d_conv
     per_layer = (
         2 * T * d * 2 * di          # in_proj

@@ -261,3 +261,65 @@ def test_opt_state_sharding_matches_params():
     n_params = len(param_sh)
     assert checked >= 2 * n_params
     assert step.sharding.spec == P()
+
+
+# ------------------------------------------------- Mamba2 (SSD) under mesh
+
+def build_m2_model():
+    # d_inner 128 = 4 heads x headdim 32; conv_dim 160 (not tp-divisible by
+    # 2? 160/2=80 ok). A_log/dt_bias/D are (4,): the P(tp, ...) mixer rules
+    # must degrade rank-safely (spec truncation in param_shardings).
+    return PretrainVideoMamba(
+        img_size=16, patch_size=8, depth=2, embed_dim=EMBED, channels=3,
+        ssm_cfg={"layer": "Mamba2", "headdim": 32, "d_state": 16,
+                 "chunk_size": 8},
+        kernel_size=1, num_frames=4, add_pool_norm=False, rng=0,
+    )
+
+
+def run_one_m2_step(mesh_axes):
+    model = build_m2_model()
+    tx = optax.adamw(1e-3, weight_decay=0.05)
+    batch = make_batch()
+    step_fn = make_train_step(model, tx, donate=False)
+    if mesh_axes is None:
+        params = model.params
+        opt_state = tx.init(params)
+        step = jnp.zeros((), jnp.int32)
+        new_params, _, _, metrics = step_fn(
+            params, opt_state, step, batch, jax.random.PRNGKey(0)
+        )
+    else:
+        mesh = make_mesh(mesh_axes, devices=jax.devices()[:8])
+        with mesh:
+            params, opt_state, step = init_train_state(model, tx, mesh=mesh)
+            batch = jax.device_put(batch, batch_sharding(mesh, "dp", "fsdp"))
+            new_params, _, _, metrics = step_fn(
+                params, opt_state, step, batch, jax.random.PRNGKey(0)
+            )
+    return (
+        float(metrics["loss"]),
+        float(metrics["grad_norm"]),
+        jax.tree_util.tree_map(np.asarray, new_params),
+    )
+
+
+@pytest.mark.slow
+def test_mamba2_sharded_step_matches_single_device():
+    """The SSD mixer's fused in_proj / per-head params shard under the
+    dp/fsdp/tp mesh (GSPMD relayouts only — semantics must be identical)."""
+    loss0, gn0, params0 = run_one_m2_step(None)
+    loss, gn, params = run_one_m2_step({"dp": 1, "fsdp": 4, "tp": 2})
+    assert abs(loss - loss0) <= 1e-5 * max(1.0, abs(loss0))
+    assert abs(gn - gn0) <= 1e-5 * max(1.0, abs(gn0))
+    # Params after one AdamW step: unlike the Mamba-1 case, the SSD's
+    # segsum/cumsum reductions reassociate under GSPMD, and AdamW's
+    # 1/(sqrt(nu)+eps) at step one amplifies that fp32 noise into the
+    # update (measured max 3e-5 abs, loss/grad_norm agree to 1e-6).
+    flat0 = jax.tree_util.tree_flatten_with_path(params0)[0]
+    flat1 = jax.tree_util.tree_flatten_with_path(params)[0]
+    for (kp0, a), (kp1, b) in zip(flat0, flat1):
+        assert kp0 == kp1
+        np.testing.assert_allclose(
+            a, b, rtol=5e-3, atol=1e-4, err_msg=jax.tree_util.keystr(kp0),
+        )
