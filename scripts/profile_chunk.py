@@ -18,6 +18,9 @@ import glob
 import gzip
 import json
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def parse_trace(outdir: str):
@@ -64,6 +67,10 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--outdir", default="/tmp/prof_chunk")
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--m2", action="store_true",
+                    help="profile the Mamba-2 (SSD) mixer variant")
+    ap.add_argument("--chunk-size", type=int, default=64)
+    ap.add_argument("--d-state", type=int, default=64)
     args = ap.parse_args()
 
     import jax
@@ -73,8 +80,12 @@ def main():
     from videomamba_tpu.utils.profiling import trace
 
     preset = videomamba_tiny if args.preset == "tiny" else videomamba_base
+    kw = {}
+    if args.m2:
+        kw["ssm_cfg"] = {"layer": "Mamba2", "d_state": args.d_state,
+                         "headdim": 64, "chunk_size": args.chunk_size}
     model = preset(num_frames=args.frames, pool_type="avg",
-                   add_pool_norm=False, dtype=jnp.bfloat16, rng=0)
+                   add_pool_norm=False, dtype=jnp.bfloat16, rng=0, **kw)
     params = model.params
     chunk = jax.random.normal(
         jax.random.PRNGKey(0),

@@ -222,6 +222,21 @@ def test_model_gradients_finite():
                for a in jax.tree_util.tree_leaves(g))
 
 
+def test_streaming_state_dtype_is_jit_stable():
+    """A bf16 forward must hand back the state in the dtype it was allocated
+    with (jit-stable pytree across chunks — same policy as Mamba-1), so a
+    lax.scan/fori_loop over chunks type-checks."""
+    model = _model(dtype=jnp.bfloat16)
+    clip = jax.random.normal(jax.random.PRNGKey(6), (1, 3, 4, 32, 32),
+                             jnp.bfloat16)
+    st0 = model.allocate_state(1)  # default: f32 conv, f32 ssm
+    _, st1 = model.forward_features(clip, ssm_state=st0,
+                                    temporal_pos_offset=0)
+    for a, b in zip(jax.tree_util.tree_leaves(st0),
+                    jax.tree_util.tree_leaves(st1)):
+        assert a.dtype == b.dtype and a.shape == b.shape
+
+
 def test_create_block_rejects_unknown_layer():
     from videomamba_tpu.models.block import create_block
 

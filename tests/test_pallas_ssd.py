@@ -1,0 +1,128 @@
+"""Pallas SSD kernel vs the XLA chunked core (interpret mode on CPU).
+
+The kernel (ops/pallas/ssd_scan.py) must match ssd_core_chunked — the
+numerical reference both are tested against (ops/ssd.py docstring contract)
+— to fp32 round-off, including streamed initial/last state and gradients
+(custom_vjp through the XLA core).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from videomamba_tpu.ops.ssd import _prepare_dt, ssd_chunked, ssd_core_chunked
+from videomamba_tpu.ops.pallas.ssd_scan import ssd_core_pallas
+
+
+def _inputs(seed=0, bsz=2, seqlen=48, nheads=4, hdim=16, ngroups=2, n=16,
+            dtype=jnp.float32):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 6)
+    x = jax.random.normal(ks[0], (bsz, seqlen, nheads, hdim), dtype)
+    dt = jax.random.normal(ks[1], (bsz, seqlen, nheads), jnp.float32) * 0.5
+    A = -jnp.exp(jax.random.normal(ks[2], (nheads,), jnp.float32))
+    B = jax.random.normal(ks[3], (bsz, seqlen, ngroups, n), dtype)
+    C = jax.random.normal(ks[4], (bsz, seqlen, ngroups, n), dtype)
+    dt_bias = jax.random.normal(ks[5], (nheads,), jnp.float32) * 0.1
+    return x, dt, A, B, C, dt_bias
+
+
+@pytest.mark.parametrize("chunk_size,seqlen", [(16, 48), (16, 40), (32, 32)])
+def test_kernel_matches_chunked_core(chunk_size, seqlen):
+    x, dt, A, B, C, dt_bias = _inputs(seqlen=seqlen)
+    dt_p = _prepare_dt(dt, dt_bias, True)
+    y_ref, h_ref = ssd_core_chunked(x, dt_p, A, B, C, None,
+                                    chunk_size=chunk_size)
+    y, h = ssd_core_pallas(x, dt_p, A, B, C, None, chunk_size=chunk_size,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_kernel_streams_initial_state():
+    x, dt, A, B, C, dt_bias = _inputs(seed=1, seqlen=64)
+    dt_p = _prepare_dt(dt, dt_bias, True)
+    h0 = jax.random.normal(jax.random.PRNGKey(9),
+                           (2, 4, 16, 16), jnp.float32) * 0.3
+
+    y_full, h_full = ssd_core_pallas(x, dt_p, A, B, C, h0, chunk_size=16,
+                                     interpret=True)
+    y1, h1 = ssd_core_pallas(x[:, :32], dt_p[:, :32], A, B[:, :32],
+                             C[:, :32], h0, chunk_size=16, interpret=True)
+    y2, h2 = ssd_core_pallas(x[:, 32:], dt_p[:, 32:], A, B[:, 32:],
+                             C[:, 32:], h1, chunk_size=16, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate([y1, y2], 1)), np.asarray(y_full),
+        rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(h_full),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_kernel_gradients_match_chunked():
+    x, dt, A, B, C, dt_bias = _inputs(seed=2, seqlen=32)
+    dt_p = _prepare_dt(dt, dt_bias, True)
+    h0 = jnp.zeros((2, 4, 16, 16), jnp.float32)
+
+    def loss(core):
+        def f(args):
+            y, h = core(*args, chunk_size=16)
+            return jnp.sum(y ** 2) + jnp.sum(h ** 2)
+        return f
+
+    args = (x, dt_p, A, B, C, h0)
+    g_ref = jax.grad(loss(ssd_core_chunked))(args)
+    g_pal = jax.grad(loss(
+        lambda *a, chunk_size: ssd_core_pallas(*a, chunk_size=chunk_size,
+                                               interpret=True)))(args)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pal),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_method_kwarg_routes_through_ssd_chunked(monkeypatch):
+    monkeypatch.setenv("VIDEOMAMBA_PALLAS_INTERPRET", "1")
+    x, dt, A, B, C, dt_bias = _inputs(seed=3, seqlen=40)
+    D = jnp.ones((4,), jnp.float32)
+    out_ref, h_ref = ssd_chunked(
+        x, dt, A, B, C, D=D, dt_bias=dt_bias, initial_state=None,
+        return_last_state=True, chunk_size=16, method="chunked")
+    out_pal, h_pal = ssd_chunked(
+        x, dt, A, B, C, D=D, dt_bias=dt_bias, initial_state=None,
+        return_last_state=True, chunk_size=16, method="pallas")
+    np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(h_pal), np.asarray(h_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_mixer_uses_pallas_in_interpret_mode(monkeypatch):
+    """End-to-end: the Mamba2 mixer picks the kernel and matches the XLA path."""
+    monkeypatch.setenv("VIDEOMAMBA_PALLAS_INTERPRET", "1")
+    from videomamba_tpu.models.mamba2 import Mamba2
+
+    m = Mamba2(d_model=96, d_state=32, headdim=24, ngroups=2, chunk_size=16,
+               layer_idx=0)
+    p = m.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 21, 96), jnp.float32)
+    y_pal = m(p, x)
+
+    monkeypatch.setenv("VIDEOMAMBA_SSD_METHOD", "chunked")
+    y_xla = m(p, x)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_xla),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_bf16_kernel_tracks_fp32():
+    x, dt, A, B, C, dt_bias = _inputs(seed=4, seqlen=32)
+    dt_p = _prepare_dt(dt, dt_bias, True)
+    y32, _ = ssd_core_pallas(x, dt_p, A, B, C, None, chunk_size=16,
+                             interpret=True)
+    y16, _ = ssd_core_pallas(
+        x.astype(jnp.bfloat16), dt_p, A, B.astype(jnp.bfloat16),
+        C.astype(jnp.bfloat16), None, chunk_size=16, interpret=True)
+    rel = float(jnp.abs(y16 - y32).max() / (jnp.abs(y32).max() + 1e-6))
+    assert rel < 0.06, rel

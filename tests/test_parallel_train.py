@@ -265,20 +265,20 @@ def test_opt_state_sharding_matches_params():
 
 # ------------------------------------------------- Mamba2 (SSD) under mesh
 
-def build_m2_model():
+def build_m2_model(chunk_size=8):
     # d_inner 128 = 4 heads x headdim 32; conv_dim 160 (not tp-divisible by
     # 2? 160/2=80 ok). A_log/dt_bias/D are (4,): the P(tp, ...) mixer rules
     # must degrade rank-safely (spec truncation in param_shardings).
     return PretrainVideoMamba(
         img_size=16, patch_size=8, depth=2, embed_dim=EMBED, channels=3,
         ssm_cfg={"layer": "Mamba2", "headdim": 32, "d_state": 16,
-                 "chunk_size": 8},
+                 "chunk_size": chunk_size},
         kernel_size=1, num_frames=4, add_pool_norm=False, rng=0,
     )
 
 
-def run_one_m2_step(mesh_axes):
-    model = build_m2_model()
+def run_one_m2_step(mesh_axes, chunk_size=8):
+    model = build_m2_model(chunk_size)
     tx = optax.adamw(1e-3, weight_decay=0.05)
     batch = make_batch()
     step_fn = make_train_step(model, tx, donate=False)
@@ -323,3 +323,18 @@ def test_mamba2_sharded_step_matches_single_device():
         np.testing.assert_allclose(
             a, b, rtol=5e-3, atol=1e-4, err_msg=jax.tree_util.keystr(kp0),
         )
+
+
+@pytest.mark.slow
+def test_mamba2_pallas_kernel_under_mesh(monkeypatch):
+    """The Pallas SSD kernel (interpret mode) lowers and runs under the
+    dp/fsdp/tp GSPMD mesh — partitioning of the pallas_call is the known
+    failure surface this pins (same rationale as the Mamba-1 interpret-mode
+    mesh test above). chunk_size=16 is the kernel's minimum shape gate, so
+    dispatch actually selects it here."""
+    monkeypatch.setenv("VIDEOMAMBA_PALLAS_INTERPRET", "1")
+    loss0, gn0, _ = run_one_m2_step(None, chunk_size=16)
+    loss, gn, _ = run_one_m2_step({"dp": 1, "fsdp": 4, "tp": 2},
+                                  chunk_size=16)
+    assert abs(loss - loss0) <= 1e-5 * max(1.0, abs(loss0))
+    assert abs(gn - gn0) <= 1e-5 * max(1.0, abs(gn0))

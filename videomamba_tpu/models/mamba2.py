@@ -32,7 +32,9 @@ import jax.numpy as jnp
 
 from videomamba_tpu.models import initializers as init
 from videomamba_tpu.ops.causal_conv1d import causal_conv1d, causal_conv1d_update
+from videomamba_tpu.ops.dispatch import preferred_ssd_method
 from videomamba_tpu.ops.norm import rms_norm
+from videomamba_tpu.ops.pallas.ssd_scan import pallas_ssd_supported
 from videomamba_tpu.ops.ssd import ssd_chunked, ssd_ref, ssd_state_update
 
 Array = jax.Array
@@ -230,6 +232,11 @@ class Mamba2:
         )
         if return_state:
             xBC, new_conv_state = conv_out
+            if conv_state is not None:
+                # jit-stable streaming pytree: the returned state keeps the
+                # caller's dtype across chunks (same policy as Mamba-1,
+                # models/mamba.py:509).
+                new_conv_state = new_conv_state.astype(conv_state.dtype)
         else:
             xBC = conv_out
 
@@ -242,16 +249,26 @@ class Mamba2:
 
         A = -jnp.exp(params["A_log"].astype(jnp.float32))
         h0 = ssm_state.astype(jnp.float32) if ssm_state is not None else None
-        ssd = ssd_chunked if self.use_fast_path else ssd_ref
         kwargs = dict(
             D=params["D"], dt_bias=params["dt_bias"], dt_softplus=True,
             initial_state=h0, return_last_state=need_state,
         )
         if self.use_fast_path:
+            ssd = ssd_chunked
             kwargs["chunk_size"] = self.chunk_size
+            method = preferred_ssd_method()
+            if method == "pallas" and not pallas_ssd_supported(
+                h, p, g, n, self.chunk_size
+            ):
+                method = "chunked"
+            kwargs["method"] = method
+        else:
+            ssd = ssd_ref
         y = ssd(x, dt, A, B, C, **kwargs)
         if need_state:
             y, new_ssm_state = y
+            if ssm_state is not None:
+                new_ssm_state = new_ssm_state.astype(ssm_state.dtype)
         y = y.reshape(bsz, seqlen, self.d_inner)
 
         out = self._gate_and_project(params, y, z)

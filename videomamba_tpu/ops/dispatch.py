@@ -61,3 +61,22 @@ def preferred_scan_method() -> str:
     if pallas_scan_available():
         return "pallas"
     return "chunked"
+
+
+_FORCE_SSD_METHOD_ENV = "VIDEOMAMBA_SSD_METHOD"
+
+
+def preferred_ssd_method() -> str:
+    """SSD (Mamba-2) backend for fast-path callers: env > pallas > chunked.
+
+    Same contract as :func:`preferred_scan_method`; the Pallas SSD kernel
+    needs a TPU backend or interpret mode, otherwise the exact XLA chunked
+    path runs.
+    """
+    forced = os.getenv(_FORCE_SSD_METHOD_ENV, "").strip().lower()
+    if forced in {"ref", "chunked"}:
+        return forced
+    runnable = on_tpu() or interpret_mode()
+    if forced == "pallas":
+        return "pallas" if runnable else "chunked"
+    return "pallas" if runnable else "chunked"

@@ -1,0 +1,316 @@
+"""Pallas TPU kernel for the SSD (Mamba-2) chunked scan.
+
+The pure-XLA chunked SSD (ops/ssd.py ssd_core_chunked) is numerically exact
+but materializes the (B, L, Q, H)-sized decay/attention factors in HBM —
+at Base serving shapes (L=12544, Q=128, H=24) that is ~150 MB of float32
+written and re-read several times per layer, and the measured chunk is
+HBM-bound (64-97 ms vs a ~13 ms matmul floor). This kernel keeps every
+(Q, Q) decay tile in VMEM and runs the whole chunk pipeline in one pass:
+
+* Grid (B, L/Q): the chunk axis is the minor (sequential) grid dimension;
+  the (H*P, N) float32 cross-chunk state lives in VMEM scratch — zero HBM
+  traffic for the state or any intra-chunk factor.
+* Per grid step, per head (Python-unrolled, static lane offsets):
+    cb    = C_g @ B_g^T                      (MXU, shared across heads of a group)
+    decay = exp(tril(s[q'] - s[k]))          (VPU, (Q, Q) in VMEM)
+    y     = (cb * decay * dt[k]) @ x_h       (MXU)
+          + (C_g * exp(s)) @ h_prev^T        (MXU)
+    S_h   = (x_h * dt * exp(s_last - s))^T @ B_g   (MXU)
+    h     = exp(s_last) * h_prev + S_h       (VPU, scratch)
+* The decay logits (per-chunk inclusive cumsum of dt*A) are tiny (B, L, H)
+  tensors precomputed in XLA and fed in both (L, H) and (H, L) layouts so
+  the kernel needs no transposes.
+
+Numerics match ssd_core_chunked: fp32 decay/cumsum/state, contractions in
+x.dtype (bf16 in, bf16 MXU with fp32 accumulation), fp32 y out. The
+backward is a custom_vjp that differentiates the XLA core (recompute) —
+the forward is the serving hot path; training gradients ride the same
+einsum-transpose backward either way.
+
+No counterpart exists in the reference repo (Mamba-1 only; see ops/ssd.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def pallas_ssd_supported(nheads: int, hdim: int, ngroups: int, d_state: int,
+                         chunk_size: int) -> bool:
+    """Shape gate: lane-sliceable head/state widths, sublane-aligned chunks."""
+    return (
+        hdim % 8 == 0
+        and d_state % 8 == 0
+        and chunk_size % 8 == 0
+        and chunk_size >= 16
+        and nheads % ngroups == 0
+    )
+
+
+def _ssd_kernel(
+    # inputs
+    x_ref,       # (1, q, H*P) x.dtype
+    scol_ref,    # (1, q, H) f32   per-chunk inclusive cumsum of dt*A
+    srow_ref,    # (1, H, q) f32   same, transposed layout
+    dtcol_ref,   # (1, q, H) f32   post-softplus dt
+    dtrow_ref,   # (1, H, q) f32
+    slast_ref,   # (B, nc, H) f32, whole array in SMEM: per-chunk decay logit
+    b_ref,       # (1, q, G*N) x.dtype
+    c_ref,       # (1, q, G*N) x.dtype
+    h0_ref,      # (1, H*P, N) f32
+    # outputs
+    y_ref,       # (1, q, H*P) f32
+    hlast_ref,   # (1, H*P, N) f32
+    # scratch
+    h_scr,       # (H*P, N) f32
+    *,
+    nheads: int,
+    hdim: int,
+    ngroups: int,
+    d_state: int,
+    highest: bool,
+):
+    c_idx = pl.program_id(1)
+    q = x_ref.shape[1]
+    n = d_state
+    heads_per_group = nheads // ngroups
+    prec = lax.Precision.HIGHEST if highest else None
+
+    @pl.when(c_idx == 0)
+    def _():
+        h_scr[:] = h0_ref[0]
+
+    x = x_ref[0]                       # (q, H*P)
+    cdt = x.dtype
+    scol = scol_ref[0]                 # (q, H)
+    srow = srow_ref[0]                 # (H, q)
+    dtcol = dtcol_ref[0]
+    dtrow = dtrow_ref[0]
+    bmat = b_ref[0]                    # (q, G*N)
+    cmat = c_ref[0]
+
+    ids_r = lax.broadcasted_iota(jnp.int32, (q, q), 0)
+    ids_c = lax.broadcasted_iota(jnp.int32, (q, q), 1)
+    causal = ids_r >= ids_c
+
+    # Group-shared C @ B^T factors (MXU), fp32 accumulation.
+    cbs = []
+    for g in range(ngroups):
+        bg = bmat[:, g * n:(g + 1) * n]
+        cg = cmat[:, g * n:(g + 1) * n]
+        cbs.append(
+            lax.dot_general(
+                cg, bg, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+        )  # (q, q)
+
+    for h in range(nheads):
+        g = h // heads_per_group
+        sc = scol[:, h:h + 1]                     # (q, 1)
+        sr = srow[h:h + 1, :]                     # (1, q)
+        # Rank-0 scalar from SMEM: Mosaic has no (1,1)->(P,N) both-dims
+        # broadcast, but scalar * array splats are free.
+        slast = slast_ref[pl.program_id(0), c_idx, h]
+
+        seg = jnp.where(causal, sc - sr, -jnp.inf)
+        m = (cbs[g] * jnp.exp(seg) * dtrow[h:h + 1, :]).astype(cdt)  # (q, q)
+
+        xh = x[:, h * hdim:(h + 1) * hdim]        # (q, P)
+        y_h = lax.dot_general(
+            m, xh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # (q, P) intra-chunk
+
+        h_prev = h_scr[h * hdim:(h + 1) * hdim, :]  # (P, N) f32
+        cw = (
+            cmat[:, g * n:(g + 1) * n].astype(jnp.float32) * jnp.exp(sc)
+        ).astype(cdt)  # (q, N)
+        y_h = y_h + lax.dot_general(
+            cw, h_prev.astype(cdt), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # + inter-chunk
+        y_ref[0, :, h * hdim:(h + 1) * hdim] = y_h
+
+        # State update: S = (x * dt * exp(s_last - s))^T @ B, then decay+add.
+        w = dtcol[:, h:h + 1] * jnp.exp(slast - sc)  # (q, 1)
+        xw = (xh.astype(jnp.float32) * w).astype(cdt)
+        s_h = lax.dot_general(
+            xw, bmat[:, g * n:(g + 1) * n], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # (P, N)
+        h_scr[h * hdim:(h + 1) * hdim, :] = jnp.exp(slast) * h_prev + s_h
+
+    hlast_ref[0] = h_scr[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nheads", "hdim", "ngroups", "d_state", "chunk_size",
+                     "interpret"),
+)
+def _ssd_pallas_padded(
+    x: Array,        # (B, Lp, H*P), Lp % q == 0
+    dt_p: Array,     # (B, Lp, H) f32 post-softplus (0 on padded rows)
+    A: Array,        # (H,) f32 negative
+    B: Array,        # (B, Lp, G*N)
+    C: Array,        # (B, Lp, G*N)
+    h0: Array,       # (B, H*P, N) f32
+    *,
+    nheads: int,
+    hdim: int,
+    ngroups: int,
+    d_state: int,
+    chunk_size: int,
+    interpret: bool = False,
+) -> Tuple[Array, Array]:
+    bsz, lp, dinner = x.shape
+    q = chunk_size
+    nc = lp // q
+
+    # Per-chunk inclusive decay cumsum — tiny (B, L, H) tensors in XLA.
+    dtA = dt_p * A[None, None, :]
+    s = jnp.cumsum(dtA.reshape(bsz, nc, q, nheads), axis=2)
+    s = s.reshape(bsz, lp, nheads)
+    srow = s.swapaxes(1, 2)          # (B, H, Lp)
+    dtrow = dt_p.swapaxes(1, 2)
+    s_last = s.reshape(bsz, nc, q, nheads)[:, :, -1, :]  # (B, nc, H)
+
+    blk = lambda b, c: (b, c, 0)
+    fixed = lambda b, c: (b, 0, 0)
+    row = lambda b, c: (b, 0, c)
+    grid = (bsz, nc)
+
+    y, hlast = pl.pallas_call(
+        functools.partial(
+            _ssd_kernel, nheads=nheads, hdim=hdim, ngroups=ngroups,
+            d_state=d_state, highest=(x.dtype == jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, q, dinner), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q, nheads), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nheads, q), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q, nheads), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nheads, q), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # s_last, whole array
+            pl.BlockSpec((1, q, ngroups * d_state), blk,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q, ngroups * d_state), blk,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dinner, d_state), fixed,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, q, dinner), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dinner, d_state), fixed,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, lp, dinner), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, dinner, d_state), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((dinner, d_state), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, s, srow, dt_p, dtrow, s_last, B, C, h0)
+    return y, hlast
+
+
+def _core_shim(x4, dt_p, A, B4, C4, h0, chunk_size):
+    """XLA core with the same operand layout as the kernel's caller."""
+    from videomamba_tpu.ops.ssd import ssd_core_chunked
+
+    return ssd_core_chunked(x4, dt_p, A, B4, C4, h0, chunk_size=chunk_size)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _ssd_pallas_core(x4, dt_p, A, B4, C4, h0, chunk_size, interpret):
+    y, hlast = _ssd_pallas_fwd_impl(x4, dt_p, A, B4, C4, h0, chunk_size,
+                                    interpret)
+    return y, hlast
+
+
+def _ssd_pallas_fwd_impl(x4, dt_p, A, B4, C4, h0, chunk_size, interpret):
+    bsz, seqlen, nheads, hdim = x4.shape
+    ngroups, n = B4.shape[2], B4.shape[3]
+    q = int(chunk_size)
+    pad = (-seqlen) % q
+    xf = x4.reshape(bsz, seqlen, nheads * hdim)
+    Bf = B4.reshape(bsz, seqlen, ngroups * n)
+    Cf = C4.reshape(bsz, seqlen, ngroups * n)
+    if pad:
+        xf = jnp.pad(xf, ((0, 0), (0, pad), (0, 0)))
+        Bf = jnp.pad(Bf, ((0, 0), (0, pad), (0, 0)))
+        Cf = jnp.pad(Cf, ((0, 0), (0, pad), (0, 0)))
+        dt_p = jnp.pad(dt_p, ((0, 0), (0, pad), (0, 0)))
+    h0f = (
+        h0.astype(jnp.float32).reshape(bsz, nheads * hdim, n)
+        if h0 is not None
+        else jnp.zeros((bsz, nheads * hdim, n), jnp.float32)
+    )
+    y, hlast = _ssd_pallas_padded(
+        xf, dt_p.astype(jnp.float32), A.astype(jnp.float32), Bf, Cf, h0f,
+        nheads=nheads, hdim=hdim, ngroups=ngroups, d_state=n,
+        chunk_size=q, interpret=interpret,
+    )
+    y = y[:, :seqlen].reshape(bsz, seqlen, nheads, hdim)
+    return y, hlast.reshape(bsz, nheads, hdim, n)
+
+
+def _ssd_pallas_vjp_fwd(x4, dt_p, A, B4, C4, h0, chunk_size, interpret):
+    out = _ssd_pallas_fwd_impl(x4, dt_p, A, B4, C4, h0, chunk_size, interpret)
+    return out, (x4, dt_p, A, B4, C4, h0)
+
+def _ssd_pallas_vjp_bwd(chunk_size, interpret, res, cts):
+    x4, dt_p, A, B4, C4, h0 = res
+    has_h0 = h0 is not None
+    if not has_h0:
+        h0 = jnp.zeros(
+            (x4.shape[0], x4.shape[2], x4.shape[3], B4.shape[3]), jnp.float32
+        )
+    _, vjp = jax.vjp(
+        lambda *args: _core_shim(*args, chunk_size=chunk_size), x4, dt_p, A,
+        B4, C4, h0,
+    )
+    dx, ddt, dA, dB, dC, dh0 = vjp(cts)
+    return dx, ddt, dA, dB, dC, (dh0 if has_h0 else None)
+
+
+_ssd_pallas_core.defvjp(_ssd_pallas_vjp_fwd, _ssd_pallas_vjp_bwd)
+
+
+def ssd_core_pallas(
+    x4: Array,
+    dt_p: Array,
+    A: Array,
+    B4: Array,
+    C4: Array,
+    initial_state: Optional[Array],
+    chunk_size: int = 128,
+    interpret: bool = False,
+) -> Tuple[Array, Array]:
+    """Drop-in Pallas twin of :func:`videomamba_tpu.ops.ssd.ssd_core_chunked`.
+
+    Same contract: x4 (B, L, H, P); dt_p post-softplus f32 (B, L, H);
+    B4/C4 (B, L, G, N); returns (y f32 (B, L, H, P), h_last f32 (B,H,P,N)).
+    Backward = custom_vjp through the XLA core (recompute).
+    """
+    from videomamba_tpu.ops.dispatch import interpret_mode
+
+    if interpret_mode():
+        interpret = True
+    return _ssd_pallas_core(
+        x4, dt_p, A, B4, C4, initial_state, int(chunk_size), bool(interpret)
+    )

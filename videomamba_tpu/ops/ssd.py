@@ -150,6 +150,7 @@ def ssd_chunked(
     initial_state: Optional[Array] = None,
     return_last_state: bool = False,
     chunk_size: int = DEFAULT_CHUNK_SIZE,
+    method: str = "chunked",
 ) -> Union[Array, Tuple[Array, Array]]:
     """Chunked SSD: MXU einsums within chunks + a tiny state scan across them.
 
@@ -160,12 +161,48 @@ def ssd_chunked(
     kernels. Peak transient memory is O(B * L * Q * H) for the intra-chunk
     factor; ``chunk_size`` trades that against the length of the cross-chunk
     scan.
+
+    ``method="pallas"`` routes the core recurrence through the fused VMEM
+    kernel (ops/pallas/ssd_scan.py) — same semantics, none of the O(L*Q*H)
+    HBM traffic; its backward differentiates this XLA core.
+    """
+    dt_p = _prepare_dt(dt, dt_bias, dt_softplus)  # fp32 BEFORE padding: the
+    # pad below must be a no-op step (dt == 0), not softplus(bias).
+    if method == "pallas":
+        from videomamba_tpu.ops.pallas.ssd_scan import ssd_core_pallas
+
+        y, h_last = ssd_core_pallas(
+            x, dt_p, A, B, C, initial_state, chunk_size=chunk_size
+        )
+    else:
+        y, h_last = ssd_core_chunked(
+            x, dt_p, A, B, C, initial_state, chunk_size=chunk_size
+        )
+    y = _finish(y, x.astype(jnp.float32), D, z, x.dtype)
+    if return_last_state:
+        return y, h_last
+    return y
+
+
+def ssd_core_chunked(
+    x: Array,
+    dt_p: Array,
+    A: Array,
+    B: Array,
+    C: Array,
+    initial_state: Optional[Array],
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+) -> Tuple[Array, Array]:
+    """The bare chunked recurrence: post-softplus ``dt_p`` in, no D/z epilogue.
+
+    Returns ``(y float32 (B, L, H, P), h_last float32 (B, H, P, N))``. This is
+    both the production XLA path (via :func:`ssd_chunked`) and the gradient
+    oracle the Pallas kernel's custom_vjp backward differentiates through
+    (ops/pallas/ssd_scan.py).
     """
     bsz, seqlen, nheads, hdim = x.shape
     n = B.shape[-1]
     q = int(chunk_size)
-    dt_p = _prepare_dt(dt, dt_bias, dt_softplus)  # fp32 BEFORE padding: the
-    # pad below must be a no-op step (dt == 0), not softplus(bias).
 
     pad = (-seqlen) % q
     if pad:
@@ -237,11 +274,7 @@ def ssd_chunked(
     y_inter = jnp.einsum("bcqhn,bchpn->bcqhp", cw, h_prev.astype(cdt))
 
     y = (y_intra + y_inter).astype(jnp.float32).reshape(bsz, lp, nheads, hdim)
-    y = y[:, :seqlen]
-    y = _finish(y, x.astype(jnp.float32), D, z, x.dtype)
-    if return_last_state:
-        return y, h_last
-    return y
+    return y[:, :seqlen], h_last
 
 
 # --------------------------------------------------------------------- decode
