@@ -408,6 +408,21 @@ def main():
     details.update(
         bench_streaming(videomamba_tiny, "tiny_stream", 16, 1, "bf16", args.quick)
     )
+    # Mamba-2 (SSD) serving option at Base geometry: scalar-decay mixer on
+    # the fused Pallas SSD kernel (framework extension; no reference analog).
+    try:
+        details.update(
+            bench_streaming(
+                lambda **kw: videomamba_base(
+                    ssm_cfg={"layer": "Mamba2", "d_state": 64, "headdim": 64,
+                             "chunk_size": 128},
+                    **kw,
+                ),
+                "m2_base_stream", 64, 1, "bf16", args.quick,
+            )
+        )
+    except Exception as e:
+        print(f"# m2_base_stream skipped: {type(e).__name__}: {e}", flush=True)
     details.update(
         bench_full_clip(videomamba_base, "base_clip8", 8, 8, "bf16", args.quick)
     )

@@ -116,6 +116,29 @@ def test_mixer_uses_pallas_in_interpret_mode(monkeypatch):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_mixer_gradients_pallas_vs_chunked(monkeypatch):
+    """Gradients through the fused gated kernel (custom_vjp -> XLA twin)
+    equal the plain chunked mixer path."""
+    monkeypatch.setenv("VIDEOMAMBA_PALLAS_INTERPRET", "1")
+    from videomamba_tpu.models.mamba2 import Mamba2
+
+    m = Mamba2(d_model=96, d_state=32, headdim=24, ngroups=2, chunk_size=16,
+               layer_idx=0)
+    p = m.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 24, 96), jnp.float32)
+
+    def loss(pp):
+        return jnp.sum(m(pp, x) ** 2)
+
+    g_pal = jax.grad(loss)(p)
+    monkeypatch.setenv("VIDEOMAMBA_SSD_METHOD", "chunked")
+    g_xla = jax.grad(loss)(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pal),
+                    jax.tree_util.tree_leaves(g_xla)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_bf16_kernel_tracks_fp32():
     x, dt, A, B, C, dt_bias = _inputs(seed=4, seqlen=32)
     dt_p = _prepare_dt(dt, dt_bias, True)

@@ -34,7 +34,10 @@ from videomamba_tpu.models import initializers as init
 from videomamba_tpu.ops.causal_conv1d import causal_conv1d, causal_conv1d_update
 from videomamba_tpu.ops.dispatch import preferred_ssd_method
 from videomamba_tpu.ops.norm import rms_norm
-from videomamba_tpu.ops.pallas.ssd_scan import pallas_ssd_supported
+from videomamba_tpu.ops.pallas.ssd_scan import (
+    pallas_ssd_supported,
+    ssd_gated_pallas,
+)
 from videomamba_tpu.ops.ssd import ssd_chunked, ssd_ref, ssd_state_update
 
 Array = jax.Array
@@ -249,18 +252,42 @@ class Mamba2:
 
         A = -jnp.exp(params["A_log"].astype(jnp.float32))
         h0 = ssm_state.astype(jnp.float32) if ssm_state is not None else None
-        kwargs = dict(
-            D=params["D"], dt_bias=params["dt_bias"], dt_softplus=True,
-            initial_state=h0, return_last_state=need_state,
-        )
+        method = "ref"
         if self.use_fast_path:
-            ssd = ssd_chunked
-            kwargs["chunk_size"] = self.chunk_size
             method = preferred_ssd_method()
             if method == "pallas" and not pallas_ssd_supported(
                 h, p, g, n, self.chunk_size
             ):
                 method = "chunked"
+
+        if method == "pallas":
+            # Whole pre-out_proj tail in one kernel: scan + D-skip +
+            # silu(z) gate (+ gated RMSNorm) — no f32 HBM round trip.
+            gated, new_ssm_state = ssd_gated_pallas(
+                x, dt, A, B, C, h0, z, params["D"],
+                dt_bias=params["dt_bias"],
+                norm_weight=(params["norm"]["weight"] if self.rmsnorm
+                             else None),
+                norm_eps=self.norm_epsilon, chunk_size=self.chunk_size,
+            )
+            if need_state and ssm_state is not None:
+                new_ssm_state = new_ssm_state.astype(ssm_state.dtype)
+            out = gated @ params["out_proj"]["kernel"]
+            if "bias" in params["out_proj"]:
+                out = out + params["out_proj"]["bias"]
+            if return_state:
+                return out, (new_conv_state, new_ssm_state)
+            if return_ssm_state:
+                return out, new_ssm_state
+            return out
+
+        kwargs = dict(
+            D=params["D"], dt_bias=params["dt_bias"], dt_softplus=True,
+            initial_state=h0, return_last_state=need_state,
+        )
+        if method != "ref":
+            ssd = ssd_chunked
+            kwargs["chunk_size"] = self.chunk_size
             kwargs["method"] = method
         else:
             ssd = ssd_ref
