@@ -139,6 +139,30 @@ def test_mixer_gradients_pallas_vs_chunked(monkeypatch):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_mixer_streaming_pallas_matches_full(monkeypatch):
+    """Chunked streaming through the conv-fused kernel (conv window honored
+    at chunk boundaries) equals the full run, and states match the XLA path."""
+    monkeypatch.setenv("VIDEOMAMBA_PALLAS_INTERPRET", "1")
+    from videomamba_tpu.models.mamba2 import Mamba2
+
+    m = Mamba2(d_model=96, d_state=32, headdim=24, ngroups=2, chunk_size=16,
+               layer_idx=0)
+    p = m.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 96), jnp.float32)
+    full, (conv_f, ssm_f) = m(p, x, state=m.allocate_state(2),
+                              return_state=True)
+    st = m.allocate_state(2)
+    y1, st = m(p, x[:, :15], state=st, return_state=True)
+    y2, st = m(p, x[:, 15:], state=st, return_state=True)
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate([y1, y2], 1)), np.asarray(full),
+        rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st[0]), np.asarray(conv_f),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st[1]), np.asarray(ssm_f),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_bf16_kernel_tracks_fp32():
     x, dt, A, B, C, dt_bias = _inputs(seed=4, seqlen=32)
     dt_p = _prepare_dt(dt, dt_bias, True)

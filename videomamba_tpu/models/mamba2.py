@@ -34,9 +34,10 @@ from videomamba_tpu.models import initializers as init
 from videomamba_tpu.ops.causal_conv1d import causal_conv1d, causal_conv1d_update
 from videomamba_tpu.ops.dispatch import preferred_ssd_method
 from videomamba_tpu.ops.norm import rms_norm
+from videomamba_tpu.models.mamba import _conv_window
 from videomamba_tpu.ops.pallas.ssd_scan import (
     pallas_ssd_supported,
-    ssd_gated_pallas,
+    ssd_mixer_pallas,
 )
 from videomamba_tpu.ops.ssd import ssd_chunked, ssd_ref, ssd_state_update
 
@@ -223,6 +224,47 @@ class Mamba2:
         zxbcdt = hidden_states @ params["in_proj"]["kernel"]
         if "bias" in params["in_proj"]:
             zxbcdt = zxbcdt + params["in_proj"]["bias"]
+
+        h, p, g, n = self.nheads, self.headdim, self.ngroups, self.d_state
+        method = "ref"
+        if self.use_fast_path:
+            method = preferred_ssd_method()
+            if method == "pallas" and not pallas_ssd_supported(
+                h, p, g, n, self.chunk_size
+            ):
+                method = "chunked"
+
+        if method == "pallas":
+            # Whole mixer core in one kernel: conv + SiLU + SSD scan +
+            # D-skip + silu(z) gate (+ gated RMSNorm); only the in/out
+            # projections (MXU-peak matmuls) stay in XLA.
+            A = -jnp.exp(params["A_log"].astype(jnp.float32))
+            h0 = (ssm_state.astype(jnp.float32)
+                  if ssm_state is not None else None)
+            gated, new_ssm_state = ssd_mixer_pallas(
+                zxbcdt, A, params["conv1d"]["weight"],
+                params["conv1d"].get("bias"), params["D"],
+                params["dt_bias"], initial_state=h0, conv_state=conv_state,
+                norm_weight=(params["norm"]["weight"] if self.rmsnorm
+                             else None),
+                norm_eps=self.norm_epsilon, chunk_size=self.chunk_size,
+                nheads=h, hdim=p, ngroups=g, d_state=n,
+            )
+            if need_state and ssm_state is not None:
+                new_ssm_state = new_ssm_state.astype(ssm_state.dtype)
+            out = gated @ params["out_proj"]["kernel"]
+            if "bias" in params["out_proj"]:
+                out = out + params["out_proj"]["bias"]
+            if return_state:
+                raw = zxbcdt[..., self.d_inner:self.d_inner + self.conv_dim]
+                new_conv_state = _conv_window(raw, conv_state, self.d_conv)
+                if conv_state is not None:
+                    new_conv_state = new_conv_state.astype(conv_state.dtype)
+                return out, (new_conv_state, new_ssm_state)
+            if return_ssm_state:
+                return out, new_ssm_state
+            return out
+
         z, xBC, dt = self._split_zxbcdt(zxbcdt)
 
         conv_out = causal_conv1d(
@@ -244,7 +286,6 @@ class Mamba2:
             xBC = conv_out
 
         x, B, C = self._split_xbc(xBC)
-        h, p, g, n = self.nheads, self.headdim, self.ngroups, self.d_state
         seqlen = x.shape[1]
         x = x.reshape(bsz, seqlen, h, p)
         B = B.reshape(bsz, seqlen, g, n)
@@ -252,34 +293,6 @@ class Mamba2:
 
         A = -jnp.exp(params["A_log"].astype(jnp.float32))
         h0 = ssm_state.astype(jnp.float32) if ssm_state is not None else None
-        method = "ref"
-        if self.use_fast_path:
-            method = preferred_ssd_method()
-            if method == "pallas" and not pallas_ssd_supported(
-                h, p, g, n, self.chunk_size
-            ):
-                method = "chunked"
-
-        if method == "pallas":
-            # Whole pre-out_proj tail in one kernel: scan + D-skip +
-            # silu(z) gate (+ gated RMSNorm) — no f32 HBM round trip.
-            gated, new_ssm_state = ssd_gated_pallas(
-                x, dt, A, B, C, h0, z, params["D"],
-                dt_bias=params["dt_bias"],
-                norm_weight=(params["norm"]["weight"] if self.rmsnorm
-                             else None),
-                norm_eps=self.norm_epsilon, chunk_size=self.chunk_size,
-            )
-            if need_state and ssm_state is not None:
-                new_ssm_state = new_ssm_state.astype(ssm_state.dtype)
-            out = gated @ params["out_proj"]["kernel"]
-            if "bias" in params["out_proj"]:
-                out = out + params["out_proj"]["bias"]
-            if return_state:
-                return out, (new_conv_state, new_ssm_state)
-            if return_ssm_state:
-                return out, new_ssm_state
-            return out
 
         kwargs = dict(
             D=params["D"], dt_bias=params["dt_bias"], dt_softplus=True,

@@ -68,38 +68,57 @@ def pallas_ssd_supported(nheads: int, hdim: int, ngroups: int, d_state: int,
 
 
 def _ssd_kernel(
-    # inputs (z/D/norm-weight present only when fused=True)
-    x_ref,       # (1, q, H*P) x.dtype
-    scol_ref,    # (1, q, H) f32   per-chunk inclusive cumsum of dt*A
-    srow_ref,    # (1, H, q) f32   same, transposed layout
-    dtcol_ref,   # (1, q, H) f32   post-softplus dt
-    dtrow_ref,   # (1, H, q) f32
-    slast_ref,   # (B, nc, H) f32, whole array in SMEM: per-chunk decay logit
-    b_ref,       # (1, q, G*N) x.dtype
-    c_ref,       # (1, q, G*N) x.dtype
-    h0_ref,      # (1, H*P, N) f32
-    *rest,       # fused: [z_ref (1,q,H*P), d_ref (H,) SMEM, w_ref (1,H*P)?]
-                 # then outputs y_ref, hlast_ref and scratch h_scr, y_scr
+    *refs,
+    # Ref layout (in order), [] = only in some variants:
+    #   plain:      x (1,q,H*P)
+    #   fuse_conv:  zx (1,q,DPJ), cstate (1,W,CD), convw (W,CD),
+    #               convb (1,CD)
+    #   always:     scol (1,q,H), srow (1,H,q), dtcol (1,q,H),
+    #               dtrow (1,H,q), slast (B,nc,H) SMEM,
+    #               [b (1,q,G*N), c (1,q,G*N) unless fuse_conv],
+    #               h0 (1,H*P,N)
+    #   fuse_conv epilogue: d (H,) SMEM, [norm w (1,H*P)]
+    #   outputs: y, hlast; scratch: h (H*P,N) f32, [y acc (q,H*P) f32]
     nheads: int,
     hdim: int,
     ngroups: int,
     d_state: int,
     highest: bool,
-    fused: bool = False,
     has_norm: bool = False,
     norm_eps: float = 1e-5,
+    fuse_conv: bool = False,
+    conv_width: int = 4,
+    d_inner: int = 0,
+    conv_dim: int = 0,
 ):
-    it = iter(rest)
-    z_ref = next(it) if fused else None
-    d_ref = next(it) if fused else None
-    w_ref = next(it) if (fused and has_norm) else None
+    it = iter(refs)
+    if fuse_conv:
+        zx_ref = next(it)
+        cstate_ref = next(it)
+        convw_ref = next(it)
+        convb_ref = next(it)
+        x_ref = None
+    else:
+        x_ref = next(it)
+        zx_ref = None
+    scol_ref = next(it)
+    srow_ref = next(it)
+    dtcol_ref = next(it)
+    dtrow_ref = next(it)
+    slast_ref = next(it)
+    if not fuse_conv:
+        b_ref = next(it)
+        c_ref = next(it)
+    h0_ref = next(it)
+    d_ref = next(it) if fuse_conv else None
+    w_ref = next(it) if (fuse_conv and has_norm) else None
     y_ref = next(it)
     hlast_ref = next(it)
     h_scr = next(it)
-    y_scr = next(it) if fused else None
+    y_scr = next(it) if fuse_conv else None
+    xtail_scr = next(it) if fuse_conv else None  # (W-1, CD) raw conv tail
 
     c_idx = pl.program_id(1)
-    q = x_ref.shape[1]
     n = d_state
     heads_per_group = nheads // ngroups
     prec = lax.Precision.HIGHEST if highest else None
@@ -108,14 +127,40 @@ def _ssd_kernel(
     def _():
         h_scr[:] = h0_ref[0]
 
-    x = x_ref[0]                       # (q, H*P)
-    cdt = x.dtype
+    if fuse_conv:
+        # ---- causal depthwise conv + SiLU over the [x B C] slab, with the
+        # previous chunk's tail (or the streaming window at chunk 0) as left
+        # context — mixer_fused's prev-block trick.
+        zx = zx_ref[0]                          # (q, DPJ)
+        q = zx.shape[0]
+        cdt = zx.dtype
+        z_val = zx[:, :d_inner]
+        raw = zx[:, d_inner:d_inner + conv_dim].astype(jnp.float32)
+        state_tail = cstate_ref[0][1:, :].astype(jnp.float32)  # (W-1, CD)
+        left = jnp.where(c_idx == 0, state_tail, xtail_scr[:])
+        ctx = jnp.concatenate([left, raw], axis=0)
+        xtail_scr[:] = raw[q - (conv_width - 1):]  # tail for the next chunk
+        cw_taps = convw_ref[:].astype(jnp.float32)
+        cy = cw_taps[conv_width - 1][None, :] * raw
+        for k in range(conv_width - 1):
+            cy = cy + cw_taps[k][None, :] * ctx[k:k + q]
+        cy = cy + convb_ref[:].astype(jnp.float32)
+        cy = cy * jax.nn.sigmoid(cy)            # silu, f32
+        gn = conv_dim - d_inner                 # = 2 * G * N
+        x = cy[:, :d_inner].astype(cdt)         # (q, H*P)
+        bmat = cy[:, d_inner:d_inner + gn // 2].astype(cdt)
+        cmat = cy[:, d_inner + gn // 2:].astype(cdt)
+    else:
+        x = x_ref[0]                       # (q, H*P)
+        q = x.shape[0]
+        cdt = x.dtype
+        bmat = b_ref[0]                    # (q, G*N)
+        cmat = c_ref[0]
+        z_val = None
     scol = scol_ref[0]                 # (q, H)
     srow = srow_ref[0]                 # (H, q)
     dtcol = dtcol_ref[0]
     dtrow = dtrow_ref[0]
-    bmat = b_ref[0]                    # (q, G*N)
-    cmat = c_ref[0]
 
     ids_r = lax.broadcasted_iota(jnp.int32, (q, q), 0)
     ids_c = lax.broadcasted_iota(jnp.int32, (q, q), 1)
@@ -158,7 +203,7 @@ def _ssd_kernel(
             cw, h_prev.astype(cdt), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         )  # + inter-chunk
-        if fused:
+        if fuse_conv:
             # D-skip folded here (scalar-per-head splat from SMEM).
             y_h = y_h + d_ref[h] * xh.astype(jnp.float32)
             y_scr[:, h * hdim:(h + 1) * hdim] = y_h
@@ -174,11 +219,11 @@ def _ssd_kernel(
         )  # (P, N)
         h_scr[h * hdim:(h + 1) * hdim, :] = jnp.exp(slast) * h_prev + s_h
 
-    if fused:
+    if fuse_conv:
         # Epilogue in-VMEM: silu(z) gate (+ RMSNorm) — the XLA path's
         # _gate_and_project pre-out_proj stages, without the f32 HBM round
         # trip between them.
-        gated = y_scr[:] * jax.nn.silu(z_ref[0].astype(jnp.float32))
+        gated = y_scr[:] * jax.nn.silu(z_val.astype(jnp.float32))
         if has_norm:
             var = jnp.mean(jnp.square(gated), axis=1, keepdims=True)
             # w_ref[:] is (1, H*P): sublane broadcast against (q, H*P).
@@ -193,7 +238,7 @@ def _ssd_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("nheads", "hdim", "ngroups", "d_state", "chunk_size",
-                     "interpret", "norm_eps"),
+                     "interpret"),
 )
 def _ssd_pallas_padded(
     x: Array,        # (B, Lp, H*P), Lp % q == 0
@@ -202,9 +247,6 @@ def _ssd_pallas_padded(
     B: Array,        # (B, Lp, G*N)
     C: Array,        # (B, Lp, G*N)
     h0: Array,       # (B, H*P, N) f32
-    z: Optional[Array] = None,           # (B, Lp, H*P): fused gate input
-    D: Optional[Array] = None,           # (H,) f32: fused D-skip
-    norm_weight: Optional[Array] = None,  # (H*P,) f32: fused RMSNorm
     *,
     nheads: int,
     hdim: int,
@@ -212,13 +254,10 @@ def _ssd_pallas_padded(
     d_state: int,
     chunk_size: int,
     interpret: bool = False,
-    norm_eps: float = 1e-5,
 ) -> Tuple[Array, Array]:
     bsz, lp, dinner = x.shape
     q = chunk_size
     nc = lp // q
-    fused = z is not None
-    has_norm = norm_weight is not None
 
     # Per-chunk inclusive decay cumsum — tiny (B, L, H) tensors in XLA.
     dtA = dt_p * A[None, None, :]
@@ -250,32 +289,11 @@ def _ssd_pallas_padded(
     operands = [x, s, srow, dt_p, dtrow, s_last, B, C, h0]
     scratch = [pltpu.VMEM((dinner, d_state), jnp.float32)]
     y_dtype = jnp.float32
-    if fused:
-        in_specs.append(
-            pl.BlockSpec((1, q, dinner), blk, memory_space=pltpu.VMEM)
-        )
-        operands.append(z)
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # D (H,)
-        operands.append(
-            D.astype(jnp.float32) if D is not None
-            else jnp.zeros((nheads,), jnp.float32)
-        )
-        if has_norm:
-            in_specs.append(
-                pl.BlockSpec((1, dinner), lambda b, c: (0, 0),
-                             memory_space=pltpu.VMEM)
-            )
-            operands.append(
-                norm_weight.astype(jnp.float32).reshape(1, dinner)
-            )
-        scratch.append(pltpu.VMEM((q, dinner), jnp.float32))
-        y_dtype = x.dtype
 
     y, hlast = pl.pallas_call(
         functools.partial(
             _ssd_kernel, nheads=nheads, hdim=hdim, ngroups=ngroups,
             d_state=d_state, highest=(x.dtype == jnp.float32),
-            fused=fused, has_norm=has_norm, norm_eps=norm_eps,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -385,135 +403,260 @@ def ssd_core_pallas(
     )
 
 
-# ------------------------------------------ fused-epilogue (mixer) variant
+# --------------------------------------- conv-fused (whole-mixer) variant
 
 
-def _gated_fwd_impl(x4, dt_p, A, B4, C4, h0, z2, D, nw, chunk_size,
-                    norm_eps, interpret):
-    bsz, seqlen, nheads, hdim = x4.shape
-    ngroups, n = B4.shape[2], B4.shape[3]
+@functools.partial(
+    jax.jit,
+    static_argnames=("nheads", "hdim", "ngroups", "d_state", "chunk_size",
+                     "interpret", "norm_eps", "d_inner", "conv_dim"),
+)
+def _ssd_mixer_padded(
+    zx: Array,       # (B, Lp, DPJ) in_proj output, Lp % q == 0
+    dt_p: Array,     # (B, Lp, H) f32 post-softplus (0 on padded rows)
+    A: Array,        # (H,) f32 negative
+    cstate: Array,   # (B, W, conv_dim) raw-input window (time-major)
+    convw: Array,    # (W, conv_dim)
+    convb: Array,    # (1, conv_dim) f32
+    h0: Array,       # (B, H*P, N) f32
+    D: Array,        # (H,) f32
+    norm_weight: Optional[Array],  # (1, H*P) f32 or None
+    *,
+    nheads: int,
+    hdim: int,
+    ngroups: int,
+    d_state: int,
+    d_inner: int,
+    conv_dim: int,
+    chunk_size: int,
+    interpret: bool = False,
+    norm_eps: float = 1e-5,
+) -> Tuple[Array, Array]:
+    bsz, lp, dpj = zx.shape
+    q = chunk_size
+    nc = lp // q
+    width = convw.shape[0]
+    has_norm = norm_weight is not None
+
+    dtA = dt_p * A[None, None, :]
+    s = jnp.cumsum(dtA.reshape(bsz, nc, q, nheads), axis=2)
+    s = s.reshape(bsz, lp, nheads)
+    srow = s.swapaxes(1, 2)
+    dtrow = dt_p.swapaxes(1, 2)
+    s_last = s.reshape(bsz, nc, q, nheads)[:, :, -1, :]
+
+    blk = lambda b, c: (b, c, 0)
+    fixed = lambda b, c: (b, 0, 0)
+    row = lambda b, c: (b, 0, c)
+    fixed2 = lambda b, c: (0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, q, dpj), blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, width, conv_dim), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((width, conv_dim), fixed2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, conv_dim), fixed2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, q, nheads), blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nheads, q), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, q, nheads), blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nheads, q), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # s_last
+        pl.BlockSpec((1, d_inner, d_state), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # D (H,)
+    ]
+    operands = [zx, cstate, convw, convb, s, srow, dt_p, dtrow, s_last,
+                h0, D.astype(jnp.float32)]
+    if has_norm:
+        in_specs.append(
+            pl.BlockSpec((1, d_inner), fixed2, memory_space=pltpu.VMEM)
+        )
+        operands.append(norm_weight)
+
+    y, hlast = pl.pallas_call(
+        functools.partial(
+            _ssd_kernel, nheads=nheads, hdim=hdim, ngroups=ngroups,
+            d_state=d_state, highest=(zx.dtype == jnp.float32),
+            has_norm=has_norm, norm_eps=norm_eps,
+            fuse_conv=True, conv_width=width, d_inner=d_inner,
+            conv_dim=conv_dim,
+        ),
+        grid=(bsz, nc),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, q, d_inner), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_inner, d_state), fixed,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, lp, d_inner), zx.dtype),
+            jax.ShapeDtypeStruct((bsz, d_inner, d_state), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((d_inner, d_state), jnp.float32),
+            pltpu.VMEM((q, d_inner), jnp.float32),
+            pltpu.VMEM((width - 1, conv_dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*operands)
+    return y, hlast
+
+
+def _mixer_fwd_impl(zx, dt_p, A, cstate, convw, convb, h0, D, nw, cfg,
+                    interpret):
+    (nheads, hdim, ngroups, n, d_inner, conv_dim, chunk_size,
+     norm_eps) = cfg
+    bsz, seqlen, _ = zx.shape
     q = int(chunk_size)
     pad = (-seqlen) % q
-    xf = x4.reshape(bsz, seqlen, nheads * hdim)
-    Bf = B4.reshape(bsz, seqlen, ngroups * n)
-    Cf = C4.reshape(bsz, seqlen, ngroups * n)
-    zf = z2
-    if pad:
-        xf = jnp.pad(xf, ((0, 0), (0, pad), (0, 0)))
-        Bf = jnp.pad(Bf, ((0, 0), (0, pad), (0, 0)))
-        Cf = jnp.pad(Cf, ((0, 0), (0, pad), (0, 0)))
-        zf = jnp.pad(zf, ((0, 0), (0, pad), (0, 0)))
-        dt_p = jnp.pad(dt_p, ((0, 0), (0, pad), (0, 0)))
+    zxf = jnp.pad(zx, ((0, 0), (0, pad), (0, 0))) if pad else zx
+    dtf = jnp.pad(dt_p, ((0, 0), (0, pad), (0, 0))) if pad else dt_p
     h0f = (
         h0.astype(jnp.float32).reshape(bsz, nheads * hdim, n)
         if h0 is not None
         else jnp.zeros((bsz, nheads * hdim, n), jnp.float32)
     )
-    y, hlast = _ssd_pallas_padded(
-        xf, dt_p.astype(jnp.float32), A.astype(jnp.float32), Bf, Cf, h0f,
-        z=zf, D=D, norm_weight=nw,
+    cst = (
+        cstate.astype(zx.dtype).swapaxes(1, 2)  # (B, D, W) -> (B, W, D)
+        if cstate is not None
+        else jnp.zeros((bsz, convw.shape[0], conv_dim), zx.dtype)
+    )
+    y, hlast = _ssd_mixer_padded(
+        zxf, dtf.astype(jnp.float32), A.astype(jnp.float32), cst,
+        convw, convb.astype(jnp.float32).reshape(1, conv_dim), h0f,
+        D.astype(jnp.float32),
+        (nw.astype(jnp.float32).reshape(1, d_inner) if nw is not None
+         else None),
         nheads=nheads, hdim=hdim, ngroups=ngroups, d_state=n,
-        chunk_size=q, norm_eps=float(norm_eps), interpret=interpret,
+        d_inner=d_inner, conv_dim=conv_dim, chunk_size=q,
+        norm_eps=float(norm_eps), interpret=interpret,
     )
     return y[:, :seqlen], hlast.reshape(bsz, nheads, hdim, n)
 
 
-def _gated_xla_twin(x4, dt_p, A, B4, C4, h0, z2, D, nw, chunk_size,
-                    norm_eps):
-    """XLA recompute of the fused kernel (gradient path)."""
+def _mixer_xla_twin(zx, dt_p, A, cstate, convw, convb, h0, D, nw, cfg):
+    """XLA recompute of the conv-fused kernel (gradient path)."""
+    from videomamba_tpu.ops.causal_conv1d import causal_conv1d
     from videomamba_tpu.ops.norm import rms_norm
     from videomamba_tpu.ops.ssd import ssd_core_chunked
 
+    (nheads, hdim, ngroups, n, d_inner, conv_dim, chunk_size,
+     norm_eps) = cfg
+    bsz, seqlen, _ = zx.shape
+    z2 = zx[..., :d_inner]
+    raw = zx[..., d_inner:d_inner + conv_dim]
+    xbc = causal_conv1d(raw, convw, convb, activation="silu",
+                        initial_state=cstate)
+    gn = ngroups * n
+    x4 = xbc[..., :d_inner].reshape(bsz, seqlen, nheads, hdim)
+    B4 = xbc[..., d_inner:d_inner + gn].reshape(bsz, seqlen, ngroups, n)
+    C4 = xbc[..., d_inner + gn:].reshape(bsz, seqlen, ngroups, n)
     y, hlast = ssd_core_chunked(x4, dt_p, A, B4, C4, h0,
                                 chunk_size=chunk_size)
-    bsz, seqlen = x4.shape[0], x4.shape[1]
-    dinner = x4.shape[2] * x4.shape[3]
     y = y + D.astype(jnp.float32)[None, None, :, None] * x4.astype(
         jnp.float32
     )
-    y = y.reshape(bsz, seqlen, dinner)
+    y = y.reshape(bsz, seqlen, d_inner)
     gated = y * jax.nn.silu(z2.astype(jnp.float32))
     if nw is not None:
         gated = rms_norm(gated, nw, eps=norm_eps)
-    return gated.astype(z2.dtype), hlast
+    return gated.astype(zx.dtype), hlast
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
-def _ssd_gated_core(x4, dt_p, A, B4, C4, h0, z2, D, nw, chunk_size,
-                    norm_eps, interpret):
-    return _gated_fwd_impl(x4, dt_p, A, B4, C4, h0, z2, D, nw, chunk_size,
-                           norm_eps, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def _ssd_mixer_core(zx, dt_p, A, cstate, convw, convb, h0, D, nw, cfg,
+                    interpret):
+    return _mixer_fwd_impl(zx, dt_p, A, cstate, convw, convb, h0, D, nw,
+                           cfg, interpret)
 
 
-def _gated_vjp_fwd(x4, dt_p, A, B4, C4, h0, z2, D, nw, chunk_size,
-                   norm_eps, interpret):
-    out = _gated_fwd_impl(x4, dt_p, A, B4, C4, h0, z2, D, nw, chunk_size,
-                          norm_eps, interpret)
-    return out, (x4, dt_p, A, B4, C4, h0, z2, D, nw)
+def _mixer_vjp_fwd(zx, dt_p, A, cstate, convw, convb, h0, D, nw, cfg,
+                   interpret):
+    out = _mixer_fwd_impl(zx, dt_p, A, cstate, convw, convb, h0, D, nw,
+                          cfg, interpret)
+    return out, (zx, dt_p, A, cstate, convw, convb, h0, D, nw)
 
 
-def _gated_vjp_bwd(chunk_size, norm_eps, interpret, res, cts):
-    x4, dt_p, A, B4, C4, h0, z2, D, nw = res
+def _mixer_vjp_bwd(cfg, interpret, res, cts):
+    zx, dt_p, A, cstate, convw, convb, h0, D, nw = res
+    nheads, hdim, ngroups, n, d_inner, conv_dim, _, _ = cfg
+    bsz = zx.shape[0]
     has_h0 = h0 is not None
     if not has_h0:
-        h0 = jnp.zeros(
-            (x4.shape[0], x4.shape[2], x4.shape[3], B4.shape[3]), jnp.float32
-        )
+        h0 = jnp.zeros((bsz, nheads, hdim, n), jnp.float32)
+    has_cst = cstate is not None
+    if not has_cst:
+        cstate = jnp.zeros((bsz, conv_dim, convw.shape[0]), zx.dtype)
     has_nw = nw is not None
-    if not has_nw:
-        nw = None
-    diff = (x4, dt_p, A, B4, C4, h0, z2, D) + ((nw,) if has_nw else ())
+    diff = (zx, dt_p, A, cstate, convw, convb, h0, D) + (
+        (nw,) if has_nw else ()
+    )
 
     def f(*args):
         if has_nw:
             *head, w = args
-            return _gated_xla_twin(*head, w, chunk_size, norm_eps)
-        return _gated_xla_twin(*args, None, chunk_size, norm_eps)
+            return _mixer_xla_twin(*head, w, cfg)
+        return _mixer_xla_twin(*args, None, cfg)
 
     _, vjp = jax.vjp(f, *diff)
     grads = vjp(cts)
     if has_nw:
-        dx, ddt, dA, dB, dC, dh0, dz, dD, dnw = grads
+        dzx, ddt, dA, dcst, dcw, dcb, dh0, dD, dnw = grads
     else:
-        dx, ddt, dA, dB, dC, dh0, dz, dD = grads
+        dzx, ddt, dA, dcst, dcw, dcb, dh0, dD = grads
         dnw = None
-    return dx, ddt, dA, dB, dC, (dh0 if has_h0 else None), dz, dD, dnw
+    return (dzx, ddt, dA, (dcst if has_cst else None), dcw, dcb,
+            (dh0 if has_h0 else None), dD, dnw)
 
 
-_ssd_gated_core.defvjp(_gated_vjp_fwd, _gated_vjp_bwd)
+_ssd_mixer_core.defvjp(_mixer_vjp_fwd, _mixer_vjp_bwd)
 
 
-def ssd_gated_pallas(
-    x4: Array,
-    dt: Array,
+def ssd_mixer_pallas(
+    zxbcdt: Array,
     A: Array,
-    B4: Array,
-    C4: Array,
-    initial_state: Optional[Array],
-    z2: Array,
+    conv_weight: Array,
+    conv_bias: Optional[Array],
     D: Array,
-    dt_bias: Optional[Array] = None,
+    dt_bias: Optional[Array],
+    initial_state: Optional[Array] = None,
+    conv_state: Optional[Array] = None,
     norm_weight: Optional[Array] = None,
     norm_eps: float = 1e-5,
     chunk_size: int = 128,
+    nheads: int = 0,
+    hdim: int = 0,
+    ngroups: int = 1,
+    d_state: int = 0,
     interpret: bool = False,
 ) -> Tuple[Array, Array]:
-    """Whole pre-out_proj mixer tail in ONE kernel: SSD scan + D-skip +
-    silu(z) gate (+ gated RMSNorm). Returns ``(y (B, L, d_inner) in
-    z2.dtype, h_last f32)`` — exactly what feeds out_proj in
-    :meth:`videomamba_tpu.models.mamba2.Mamba2.__call__`.
+    """The whole Mamba-2 mixer core in ONE kernel: causal conv + SiLU over
+    the [x B C] slab (streaming window honored), SSD scan, D-skip, silu(z)
+    gate, gated RMSNorm. In: the raw in_proj output ``zxbcdt``
+    (B, L, 2*d_inner + 2*G*N + H); out: ``(out_proj input (B, L, d_inner),
+    h_last f32 (B, H, P, N))``.
 
-    Saves the f32 y HBM round trip between the scan and the gate that the
-    XLA path pays (measured 0.44 ms/layer at Base serving shapes).
+    Removes the conv (0.43 ms/layer) and zxbcdt-split (0.19 ms/layer) XLA
+    HBM passes the gated variant still paid at Base serving shapes.
     """
     from videomamba_tpu.ops.dispatch import interpret_mode
     from videomamba_tpu.ops.ssd import _prepare_dt
 
     if interpret_mode():
         interpret = True
-    dt_p = _prepare_dt(dt, dt_bias, True)
-    return _ssd_gated_core(
-        x4, dt_p, A.astype(jnp.float32), B4, C4, initial_state, z2,
-        D.astype(jnp.float32), norm_weight, int(chunk_size),
-        float(norm_eps), bool(interpret),
+    d_inner = nheads * hdim
+    conv_dim = d_inner + 2 * ngroups * d_state
+    dt_raw = zxbcdt[..., 2 * d_inner + 2 * ngroups * d_state:]
+    dt_p = _prepare_dt(dt_raw, dt_bias, True)
+    cb = (
+        conv_bias if conv_bias is not None
+        else jnp.zeros((conv_dim,), jnp.float32)
+    )
+    cfg = (int(nheads), int(hdim), int(ngroups), int(d_state),
+           int(d_inner), int(conv_dim), int(chunk_size), float(norm_eps))
+    return _ssd_mixer_core(
+        zxbcdt, dt_p, A.astype(jnp.float32), conv_state, conv_weight, cb,
+        initial_state, D.astype(jnp.float32), norm_weight, cfg,
+        bool(interpret),
     )
