@@ -90,6 +90,7 @@ def _ssd_kernel(
     conv_width: int = 4,
     d_inner: int = 0,
     conv_dim: int = 0,
+    checkpoints: bool = False,
 ):
     it = iter(refs)
     if fuse_conv:
@@ -114,6 +115,7 @@ def _ssd_kernel(
     w_ref = next(it) if (fuse_conv and has_norm) else None
     y_ref = next(it)
     hlast_ref = next(it)
+    hins_ref = next(it) if checkpoints else None
     h_scr = next(it)
     y_scr = next(it) if fuse_conv else None
     xtail_scr = next(it) if fuse_conv else None  # (W-1, CD) raw conv tail
@@ -126,6 +128,10 @@ def _ssd_kernel(
     @pl.when(c_idx == 0)
     def _():
         h_scr[:] = h0_ref[0]
+
+    if checkpoints:
+        # Residual for the backward kernel: the state ENTERING this chunk.
+        hins_ref[0, 0] = h_scr[:]
 
     if fuse_conv:
         # ---- causal depthwise conv + SiLU over the [x B C] slab, with the
@@ -238,7 +244,7 @@ def _ssd_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("nheads", "hdim", "ngroups", "d_state", "chunk_size",
-                     "interpret"),
+                     "interpret", "checkpoints"),
 )
 def _ssd_pallas_padded(
     x: Array,        # (B, Lp, H*P), Lp % q == 0
@@ -254,7 +260,8 @@ def _ssd_pallas_padded(
     d_state: int,
     chunk_size: int,
     interpret: bool = False,
-) -> Tuple[Array, Array]:
+    checkpoints: bool = False,
+):
     bsz, lp, dinner = x.shape
     q = chunk_size
     nc = lp // q
@@ -290,36 +297,40 @@ def _ssd_pallas_padded(
     scratch = [pltpu.VMEM((dinner, d_state), jnp.float32)]
     y_dtype = jnp.float32
 
-    y, hlast = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, q, dinner), blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, dinner, d_state), fixed, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bsz, lp, dinner), y_dtype),
+        jax.ShapeDtypeStruct((bsz, dinner, d_state), jnp.float32),
+    ]
+    if checkpoints:
+        out_specs.append(
+            pl.BlockSpec((1, 1, dinner, d_state), lambda b, c: (b, c, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((bsz, nc, dinner, d_state), jnp.float32)
+        )
+
+    outs = pl.pallas_call(
         functools.partial(
             _ssd_kernel, nheads=nheads, hdim=hdim, ngroups=ngroups,
             d_state=d_state, highest=(x.dtype == jnp.float32),
+            checkpoints=checkpoints,
         ),
         grid=grid,
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, q, dinner), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dinner, d_state), fixed,
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bsz, lp, dinner), y_dtype),
-            jax.ShapeDtypeStruct((bsz, dinner, d_state), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(*operands)
-    return y, hlast
-
-
-def _core_shim(x4, dt_p, A, B4, C4, h0, chunk_size):
-    """XLA core with the same operand layout as the kernel's caller."""
-    from videomamba_tpu.ops.ssd import ssd_core_chunked
-
-    return ssd_core_chunked(x4, dt_p, A, B4, C4, h0, chunk_size=chunk_size)
+    return outs if checkpoints else (outs[0], outs[1])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
@@ -329,10 +340,9 @@ def _ssd_pallas_core(x4, dt_p, A, B4, C4, h0, chunk_size, interpret):
     return y, hlast
 
 
-def _ssd_pallas_fwd_impl(x4, dt_p, A, B4, C4, h0, chunk_size, interpret):
+def _pad_core_operands(x4, dt_p, B4, C4, h0, q):
     bsz, seqlen, nheads, hdim = x4.shape
     ngroups, n = B4.shape[2], B4.shape[3]
-    q = int(chunk_size)
     pad = (-seqlen) % q
     xf = x4.reshape(bsz, seqlen, nheads * hdim)
     Bf = B4.reshape(bsz, seqlen, ngroups * n)
@@ -347,8 +357,16 @@ def _ssd_pallas_fwd_impl(x4, dt_p, A, B4, C4, h0, chunk_size, interpret):
         if h0 is not None
         else jnp.zeros((bsz, nheads * hdim, n), jnp.float32)
     )
+    return xf, dt_p.astype(jnp.float32), Bf, Cf, h0f
+
+
+def _ssd_pallas_fwd_impl(x4, dt_p, A, B4, C4, h0, chunk_size, interpret):
+    bsz, seqlen, nheads, hdim = x4.shape
+    ngroups, n = B4.shape[2], B4.shape[3]
+    q = int(chunk_size)
+    xf, dtf, Bf, Cf, h0f = _pad_core_operands(x4, dt_p, B4, C4, h0, q)
     y, hlast = _ssd_pallas_padded(
-        xf, dt_p.astype(jnp.float32), A.astype(jnp.float32), Bf, Cf, h0f,
+        xf, dtf, A.astype(jnp.float32), Bf, Cf, h0f,
         nheads=nheads, hdim=hdim, ngroups=ngroups, d_state=n,
         chunk_size=q, interpret=interpret,
     )
@@ -357,25 +375,316 @@ def _ssd_pallas_fwd_impl(x4, dt_p, A, B4, C4, h0, chunk_size, interpret):
 
 
 def _ssd_pallas_vjp_fwd(x4, dt_p, A, B4, C4, h0, chunk_size, interpret):
-    out = _ssd_pallas_fwd_impl(x4, dt_p, A, B4, C4, h0, chunk_size, interpret)
-    return out, (x4, dt_p, A, B4, C4, h0)
+    bsz, seqlen, nheads, hdim = x4.shape
+    ngroups, n = B4.shape[2], B4.shape[3]
+    q = int(chunk_size)
+    xf, dtf, Bf, Cf, h0f = _pad_core_operands(x4, dt_p, B4, C4, h0, q)
+    y, hlast, hins = _ssd_pallas_padded(
+        xf, dtf, A.astype(jnp.float32), Bf, Cf, h0f,
+        nheads=nheads, hdim=hdim, ngroups=ngroups, d_state=n,
+        chunk_size=q, interpret=interpret, checkpoints=True,
+    )
+    out = (
+        y[:, :seqlen].reshape(bsz, seqlen, nheads, hdim),
+        hlast.reshape(bsz, nheads, hdim, n),
+    )
+    return out, (xf, dtf, Bf, Cf, hins, A, h0)
+
 
 def _ssd_pallas_vjp_bwd(chunk_size, interpret, res, cts):
-    x4, dt_p, A, B4, C4, h0 = res
-    has_h0 = h0 is not None
-    if not has_h0:
-        h0 = jnp.zeros(
-            (x4.shape[0], x4.shape[2], x4.shape[3], B4.shape[3]), jnp.float32
-        )
-    _, vjp = jax.vjp(
-        lambda *args: _core_shim(*args, chunk_size=chunk_size), x4, dt_p, A,
-        B4, C4, h0,
+    xf, dtf, Bf, Cf, hins, A, h0 = res
+    dy4, dhlast = cts
+    bsz, seqlen, nheads, hdim = dy4.shape
+    n = hins.shape[-1]
+    ngroups = Bf.shape[-1] // n
+    q = int(chunk_size)
+    lp = xf.shape[1]
+    dyf = dy4.astype(jnp.float32).reshape(bsz, seqlen, nheads * hdim)
+    if lp != seqlen:
+        dyf = jnp.pad(dyf, ((0, 0), (0, lp - seqlen), (0, 0)))
+    dhl = dhlast.astype(jnp.float32).reshape(bsz, nheads * hdim, n)
+
+    (dxf, dBf, dCf, ds_col, ds_row, ddtp_col, ddtp_row,
+     dh0f) = _ssd_bwd_padded(
+        xf, dtf, A.astype(jnp.float32), Bf, Cf, hins, dyf, dhl,
+        nheads=nheads, hdim=hdim, ngroups=ngroups, d_state=n,
+        chunk_size=q, interpret=interpret,
     )
-    dx, ddt, dA, dB, dC, dh0 = vjp(cts)
-    return dx, ddt, dA, dB, dC, (dh0 if has_h0 else None)
+
+    # Small-tensor decay chains in XLA: s = within-chunk cumsum(dt*A), so
+    # d(dtA) = reversed within-chunk cumsum of ds; dA and the dt_p terms
+    # follow by the product rule.
+    nc = lp // q
+    ds = ds_col + ds_row.swapaxes(1, 2)
+    ds_c = ds.reshape(bsz, nc, q, nheads)
+    ddtA = jnp.flip(jnp.cumsum(jnp.flip(ds_c, 2), axis=2), 2)
+    ddtA = ddtA.reshape(bsz, lp, nheads)
+    ddtp = ddtp_col + ddtp_row.swapaxes(1, 2) + ddtA * A[None, None, :]
+    dA = jnp.sum(ddtA * dtf, axis=(0, 1))
+
+    dx = dxf[:, :seqlen].reshape(bsz, seqlen, nheads, hdim)
+    dB = dBf[:, :seqlen].reshape(bsz, seqlen, ngroups, n)
+    dC = dCf[:, :seqlen].reshape(bsz, seqlen, ngroups, n)
+    ddtp = ddtp[:, :seqlen]
+    dh0 = (
+        dh0f.reshape(bsz, nheads, hdim, n).astype(h0.dtype)
+        if h0 is not None else None
+    )
+    return dx, ddtp, dA, dB, dC, dh0
 
 
 _ssd_pallas_core.defvjp(_ssd_pallas_vjp_fwd, _ssd_pallas_vjp_bwd)
+
+
+def _ssd_bwd_kernel(
+    # inputs (all chunk-indexed refs use REVERSED index maps):
+    x_ref,       # (1, q, H*P)
+    dy_ref,      # (1, q, H*P) f32
+    scol_ref,    # (1, q, H) f32
+    srow_ref,    # (1, H, q) f32
+    dtcol_ref,   # (1, q, H) f32
+    dtrow_ref,   # (1, H, q) f32
+    slast_ref,   # (B, nc, H) f32 SMEM (absolute chunk index)
+    b_ref,       # (1, q, G*N)
+    c_ref,       # (1, q, G*N)
+    hins_ref,    # (1, 1, H*P, N) f32: state ENTERING this chunk (fwd ckpt)
+    dhlast_ref,  # (1, H*P, N) f32
+    # outputs
+    dx_ref,      # (1, q, H*P) f32
+    db_ref,      # (1, q, G*N) f32
+    dc_ref,      # (1, q, G*N) f32
+    dscol_ref,   # (1, q, H) f32   row-indexed ds contributions
+    dsrow_ref,   # (1, H, q) f32   col-indexed ds contributions
+    ddtpcol_ref,  # (1, q, H) f32
+    ddtprow_ref,  # (1, H, q) f32
+    dh0_ref,     # (1, H*P, N) f32
+    # scratch
+    g_scr,       # (H*P, N) f32: dL/d(state leaving current chunk)
+    *,
+    nheads: int,
+    hdim: int,
+    ngroups: int,
+    d_state: int,
+    nc: int,
+    highest: bool,
+):
+    c_idx = pl.program_id(1)
+    chunk = nc - 1 - c_idx  # absolute chunk index (reverse iteration)
+    n = d_state
+    heads_per_group = nheads // ngroups
+    prec = lax.Precision.HIGHEST if highest else None
+
+    @pl.when(c_idx == 0)
+    def _():
+        g_scr[:] = dhlast_ref[0]
+
+    x = x_ref[0]
+    q = x.shape[0]
+    cdt = x.dtype
+    dy = dy_ref[0]                      # (q, H*P) f32
+    scol = scol_ref[0]
+    srow = srow_ref[0]
+    dtcol = dtcol_ref[0]
+    dtrow = dtrow_ref[0]
+    bmat = b_ref[0]
+    cmat = c_ref[0]
+    hin = hins_ref[0, 0]                # (H*P, N) f32
+
+    ids_r = lax.broadcasted_iota(jnp.int32, (q, q), 0)
+    ids_c = lax.broadcasted_iota(jnp.int32, (q, q), 1)
+    causal = ids_r >= ids_c
+
+    # Zero the accumulating output blocks (fresh VMEM each grid step).
+    db_ref[0] = jnp.zeros((q, ngroups * n), jnp.float32)
+    dc_ref[0] = jnp.zeros((q, ngroups * n), jnp.float32)
+    dscol_ref[0] = jnp.zeros((q, nheads), jnp.float32)
+    dsrow_ref[0] = jnp.zeros((nheads, q), jnp.float32)
+    ddtpcol_ref[0] = jnp.zeros((q, nheads), jnp.float32)
+    ddtprow_ref[0] = jnp.zeros((nheads, q), jnp.float32)
+
+    cbs = []
+    for g in range(ngroups):
+        bg = bmat[:, g * n:(g + 1) * n]
+        cg = cmat[:, g * n:(g + 1) * n]
+        cbs.append(
+            lax.dot_general(
+                cg, bg, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+        )
+
+    for h in range(nheads):
+        g = h // heads_per_group
+        gsl = slice(g * n, (g + 1) * n)
+        hsl = slice(h * hdim, (h + 1) * hdim)
+        sc = scol[:, h:h + 1]
+        sr = srow[h:h + 1, :]
+        slast = slast_ref[pl.program_id(0), chunk, h]
+        dtr = dtrow[h:h + 1, :]
+
+        e_seg = jnp.where(causal, sc - sr, -jnp.inf)
+        E = jnp.exp(e_seg)              # (q, q) f32, zero above diagonal
+        dy_h = dy[:, hsl]               # (q, P) f32
+        dy_c = dy_h.astype(cdt)
+        xh = x[:, hsl]                  # (q, P) cdt
+        hin_h = hin[hsl, :]             # (P, N) f32
+        g_h = g_scr[hsl, :]             # (P, N) f32
+
+        # ---- intra-chunk: y = (cb*E*dt) @ x
+        M = (cbs[g] * E * dtr).astype(cdt)
+        dx_h = lax.dot_general(
+            M, dy_c, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # (q_k, P)
+        dM = lax.dot_general(
+            dy_c, xh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # (q_i, q_k)
+        dDm = dM * cbs[g]               # grad wrt (E * dt) factor
+        T = dDm * E                     # ddt collector (before dt factor)
+        ddtprow_ref[0, h:h + 1, :] += jnp.sum(T, axis=0, keepdims=True).astype(
+            jnp.float32
+        )
+        U = T * dtr
+        dscol_ref[0, :, h:h + 1] += jnp.sum(U, axis=1, keepdims=True)
+        dsrow_ref[0, h:h + 1, :] += -jnp.sum(U, axis=0, keepdims=True)
+        dcb = (dM * E * dtr).astype(cdt)
+        dc_ref[0, :, gsl] += lax.dot_general(
+            dcb, bmat[:, gsl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        db_ref[0, :, gsl] += lax.dot_general(
+            dcb, cmat[:, gsl], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+        # ---- inter-chunk y: y += (C * exp(s)) @ h_in^T
+        exp_sc = jnp.exp(sc)            # (q, 1)
+        cw = cmat[:, gsl].astype(jnp.float32) * exp_sc  # (q, N) f32
+        dCw = lax.dot_general(
+            dy_c, hin_h.astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # (q, N)
+        dc_ref[0, :, gsl] += dCw * exp_sc
+        dscol_ref[0, :, h:h + 1] += jnp.sum(dCw * cw, axis=1, keepdims=True)
+        dhin = lax.dot_general(
+            dy_c, cw.astype(cdt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # (P, N): y-path grad into the incoming state
+
+        # ---- state path: h_out = exp(slast) h_in + (x*dt*exp(slast-s))^T B
+        w = dtcol[:, h:h + 1] * jnp.exp(slast - sc)  # (q, 1)
+        R = lax.dot_general(
+            bmat[:, gsl], g_h.astype(cdt), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # (q, P)
+        dx_h = dx_h + w * R
+        dw = jnp.sum(xh.astype(jnp.float32) * R, axis=1, keepdims=True)
+        ddtpcol_ref[0, :, h:h + 1] += dw * jnp.exp(slast - sc)
+        dscol_ref[0, :, h:h + 1] += -(dw * w)
+        xw = (xh.astype(jnp.float32) * w).astype(cdt)
+        db_ref[0, :, gsl] += lax.dot_general(
+            xw, g_h.astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        dslast = jnp.sum(dw * w) + jnp.exp(slast) * jnp.sum(g_h * hin_h)
+        dsrow_ref[0, h:h + 1, q - 1:q] += dslast
+
+        dx_ref[0, :, hsl] = dx_h
+        g_scr[hsl, :] = dhin + jnp.exp(slast) * g_h
+
+    dh0_ref[0] = g_scr[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nheads", "hdim", "ngroups", "d_state", "chunk_size",
+                     "interpret"),
+)
+def _ssd_bwd_padded(
+    x: Array,        # (B, Lp, H*P)
+    dt_p: Array,     # (B, Lp, H) f32
+    A: Array,        # (H,) f32
+    B: Array,        # (B, Lp, G*N)
+    C: Array,        # (B, Lp, G*N)
+    hins: Array,     # (B, nc, H*P, N) f32
+    dy: Array,       # (B, Lp, H*P) f32
+    dhlast: Array,   # (B, H*P, N) f32
+    *,
+    nheads: int,
+    hdim: int,
+    ngroups: int,
+    d_state: int,
+    chunk_size: int,
+    interpret: bool = False,
+):
+    bsz, lp, dinner = x.shape
+    q = chunk_size
+    nc = lp // q
+
+    dtA = dt_p * A[None, None, :]
+    s = jnp.cumsum(dtA.reshape(bsz, nc, q, nheads), axis=2)
+    s = s.reshape(bsz, lp, nheads)
+    srow = s.swapaxes(1, 2)
+    dtrow = dt_p.swapaxes(1, 2)
+    s_last = s.reshape(bsz, nc, q, nheads)[:, :, -1, :]
+
+    # Reversed index maps: grid step c processes absolute chunk nc-1-c.
+    rblk = lambda b, c: (b, nc - 1 - c, 0)
+    rrow = lambda b, c: (b, 0, nc - 1 - c)
+    rchunk = lambda b, c: (b, nc - 1 - c, 0, 0)
+    fixed = lambda b, c: (b, 0, 0)
+    gn = ngroups * d_state
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _ssd_bwd_kernel, nheads=nheads, hdim=hdim, ngroups=ngroups,
+            d_state=d_state, nc=nc, highest=(x.dtype == jnp.float32),
+        ),
+        grid=(bsz, nc),
+        in_specs=[
+            pl.BlockSpec((1, q, dinner), rblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q, dinner), rblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q, nheads), rblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nheads, q), rrow, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q, nheads), rblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nheads, q), rrow, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # s_last
+            pl.BlockSpec((1, q, gn), rblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q, gn), rblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, dinner, d_state), rchunk,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dinner, d_state), fixed,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, q, dinner), rblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q, gn), rblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q, gn), rblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q, nheads), rblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nheads, q), rrow, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q, nheads), rblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nheads, q), rrow, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dinner, d_state), fixed,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, lp, dinner), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, lp, gn), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, lp, gn), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, lp, nheads), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, nheads, lp), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, lp, nheads), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, nheads, lp), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, dinner, d_state), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((dinner, d_state), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, dy, s, srow, dt_p, dtrow, s_last, B, C, hins, dhlast)
+    return outs
 
 
 def ssd_core_pallas(
@@ -536,8 +845,13 @@ def _mixer_fwd_impl(zx, dt_p, A, cstate, convw, convb, h0, D, nw, cfg,
 
 
 def _mixer_xla_twin(zx, dt_p, A, cstate, convw, convb, h0, D, nw, cfg):
-    """XLA recompute of the conv-fused kernel (gradient path)."""
+    """Recompute of the conv-fused kernel for the gradient path: the cheap
+    elementwise stages (conv, gate, norm) rerun in XLA; the scan core runs
+    through :func:`ssd_core_pallas` when a kernel backend is available, so
+    its forward/backward are the checkpointed Pallas kernels — none of the
+    XLA chunked core's O(L*Q*H) HBM factors."""
     from videomamba_tpu.ops.causal_conv1d import causal_conv1d
+    from videomamba_tpu.ops.dispatch import interpret_mode, on_tpu
     from videomamba_tpu.ops.norm import rms_norm
     from videomamba_tpu.ops.ssd import ssd_core_chunked
 
@@ -552,8 +866,12 @@ def _mixer_xla_twin(zx, dt_p, A, cstate, convw, convb, h0, D, nw, cfg):
     x4 = xbc[..., :d_inner].reshape(bsz, seqlen, nheads, hdim)
     B4 = xbc[..., d_inner:d_inner + gn].reshape(bsz, seqlen, ngroups, n)
     C4 = xbc[..., d_inner + gn:].reshape(bsz, seqlen, ngroups, n)
-    y, hlast = ssd_core_chunked(x4, dt_p, A, B4, C4, h0,
-                                chunk_size=chunk_size)
+    if on_tpu() or interpret_mode():
+        y, hlast = ssd_core_pallas(x4, dt_p, A, B4, C4, h0,
+                                   chunk_size=chunk_size)
+    else:
+        y, hlast = ssd_core_chunked(x4, dt_p, A, B4, C4, h0,
+                                    chunk_size=chunk_size)
     y = y + D.astype(jnp.float32)[None, None, :, None] * x4.astype(
         jnp.float32
     )
