@@ -167,6 +167,23 @@ def test_mixer_streaming_pallas_matches_full(monkeypatch):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_bf16_gradients_run_and_match_dtypes():
+    """bf16 primals (the training preset) must get bf16 cotangents back from
+    the Pallas backward — custom_vjp asserts dtype equality."""
+    x, dt, A, B, C, dt_bias = _inputs(seed=5, seqlen=32, dtype=jnp.bfloat16)
+    dt_p = _prepare_dt(dt, dt_bias, True)
+    h0 = jnp.zeros((2, 4, 16, 16), jnp.float32)
+
+    def loss(args):
+        y, h = ssd_core_pallas(*args, chunk_size=16, interpret=True)
+        return jnp.sum(y.astype(jnp.float32) ** 2) + jnp.sum(h ** 2)
+
+    g = jax.grad(loss)((x, dt_p, A, B, C, h0))
+    assert g[0].dtype == jnp.bfloat16 and g[3].dtype == jnp.bfloat16
+    assert all(bool(jnp.isfinite(a.astype(jnp.float32)).all())
+               for a in jax.tree_util.tree_leaves(g))
+
+
 def test_bf16_kernel_tracks_fp32():
     x, dt, A, B, C, dt_bias = _inputs(seed=4, seqlen=32)
     dt_p = _prepare_dt(dt, dt_bias, True)

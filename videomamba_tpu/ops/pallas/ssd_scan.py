@@ -422,10 +422,11 @@ def _ssd_pallas_vjp_bwd(chunk_size, interpret, res, cts):
     ddtp = ddtp_col + ddtp_row.swapaxes(1, 2) + ddtA * A[None, None, :]
     dA = jnp.sum(ddtA * dtf, axis=(0, 1))
 
-    dx = dxf[:, :seqlen].reshape(bsz, seqlen, nheads, hdim)
-    dB = dBf[:, :seqlen].reshape(bsz, seqlen, ngroups, n)
-    dC = dCf[:, :seqlen].reshape(bsz, seqlen, ngroups, n)
-    ddtp = ddtp[:, :seqlen]
+    # Cotangents must match primal dtypes (bf16 activations in training).
+    dx = dxf[:, :seqlen].reshape(bsz, seqlen, nheads, hdim).astype(xf.dtype)
+    dB = dBf[:, :seqlen].reshape(bsz, seqlen, ngroups, n).astype(Bf.dtype)
+    dC = dCf[:, :seqlen].reshape(bsz, seqlen, ngroups, n).astype(Cf.dtype)
+    ddtp = ddtp[:, :seqlen].astype(dtf.dtype)
     dh0 = (
         dh0f.reshape(bsz, nheads, hdim, n).astype(h0.dtype)
         if h0 is not None else None
