@@ -26,6 +26,8 @@ def main():
     parser.add_argument("--batch", type=int, default=1,
                         help="independent video streams per chip")
     parser.add_argument("--fp32", action="store_true")
+    parser.add_argument("--mamba2", action="store_true",
+                        help="serve the Mamba-2 (SSD) mixer variant")
     args = parser.parse_args()
 
     import jax
@@ -36,10 +38,15 @@ def main():
     from videomamba_tpu.models import presets
 
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    extra = {}
+    if args.mamba2:
+        extra["ssm_cfg"] = {"layer": "Mamba2", "d_state": 64, "headdim": 64,
+                            "chunk_size": 128}
     model = getattr(presets, f"videomamba_{args.preset}")(
-        num_frames=args.chunk, pool_type="avg", dtype=dtype, rng=0
+        num_frames=args.chunk, pool_type="avg", dtype=dtype, rng=0, **extra
     )
-    print(f"model={args.preset} dtype={dtype.__name__} "
+    print(f"model={args.preset}{'+ssd' if args.mamba2 else ''} "
+          f"dtype={dtype.__name__} "
           f"chunk={args.chunk} frames={args.frames} streams={args.batch}")
 
     # Synthetic video stream (replace with your decoder's frames).

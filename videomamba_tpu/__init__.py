@@ -19,6 +19,7 @@ from videomamba_tpu.determinism import (
 )
 from videomamba_tpu.models.block import Block, create_block
 from videomamba_tpu.models.mamba import Mamba
+from videomamba_tpu.models.mamba2 import Mamba2
 from videomamba_tpu.models.presets import (
     videomamba_base,
     videomamba_middle,
@@ -57,6 +58,7 @@ __all__ = [
     "InferenceCache",
     "LayerState",
     "Mamba",
+    "Mamba2",
     "StreamingSession",
     "PatchEmbed",
     "PretrainVideoMamba",

@@ -2,6 +2,7 @@
 
 from videomamba_tpu.models.block import Block, create_block, drop_path
 from videomamba_tpu.models.mamba import Mamba
+from videomamba_tpu.models.mamba2 import Mamba2
 from videomamba_tpu.models.videomamba import (
     PatchEmbed,
     PretrainVideoMamba,
@@ -11,6 +12,7 @@ from videomamba_tpu.models.videomamba import (
 __all__ = [
     "Block",
     "Mamba",
+    "Mamba2",
     "PatchEmbed",
     "PretrainVideoMamba",
     "build_videomamba",
