@@ -116,6 +116,7 @@ def _ssd_kernel(
     y_ref = next(it)
     hlast_ref = next(it)
     hins_ref = next(it) if checkpoints else None
+    yd_ref = next(it) if (checkpoints and fuse_conv) else None
     h_scr = next(it)
     y_scr = next(it) if fuse_conv else None
     xtail_scr = next(it) if fuse_conv else None  # (W-1, CD) raw conv tail
@@ -229,6 +230,9 @@ def _ssd_kernel(
         # Epilogue in-VMEM: silu(z) gate (+ RMSNorm) — the XLA path's
         # _gate_and_project pre-out_proj stages, without the f32 HBM round
         # trip between them.
+        if checkpoints:
+            # Pre-gate y (scan + D-skip): the backward's epilogue residual.
+            yd_ref[0] = y_scr[:]
         gated = y_scr[:] * jax.nn.silu(z_val.astype(jnp.float32))
         if has_norm:
             var = jnp.mean(jnp.square(gated), axis=1, keepdims=True)
@@ -719,7 +723,8 @@ def ssd_core_pallas(
 @functools.partial(
     jax.jit,
     static_argnames=("nheads", "hdim", "ngroups", "d_state", "chunk_size",
-                     "interpret", "norm_eps", "d_inner", "conv_dim"),
+                     "interpret", "norm_eps", "d_inner", "conv_dim",
+                     "checkpoints"),
 )
 def _ssd_mixer_padded(
     zx: Array,       # (B, Lp, DPJ) in_proj output, Lp % q == 0
@@ -741,7 +746,8 @@ def _ssd_mixer_padded(
     chunk_size: int,
     interpret: bool = False,
     norm_eps: float = 1e-5,
-) -> Tuple[Array, Array]:
+    checkpoints: bool = False,
+):
     bsz, lp, dpj = zx.shape
     q = chunk_size
     nc = lp // q
@@ -781,25 +787,41 @@ def _ssd_mixer_padded(
         )
         operands.append(norm_weight)
 
-    y, hlast = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, q, d_inner), blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d_inner, d_state), fixed, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bsz, lp, d_inner), zx.dtype),
+        jax.ShapeDtypeStruct((bsz, d_inner, d_state), jnp.float32),
+    ]
+    if checkpoints:
+        out_specs.append(
+            pl.BlockSpec((1, 1, d_inner, d_state), lambda b, c: (b, c, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((bsz, nc, d_inner, d_state), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec((1, q, d_inner), blk, memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((bsz, lp, d_inner), jnp.float32)
+        )
+
+    outs = pl.pallas_call(
         functools.partial(
             _ssd_kernel, nheads=nheads, hdim=hdim, ngroups=ngroups,
             d_state=d_state, highest=(zx.dtype == jnp.float32),
             has_norm=has_norm, norm_eps=norm_eps,
             fuse_conv=True, conv_width=width, d_inner=d_inner,
-            conv_dim=conv_dim,
+            conv_dim=conv_dim, checkpoints=checkpoints,
         ),
         grid=(bsz, nc),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, q, d_inner), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d_inner, d_state), fixed,
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bsz, lp, d_inner), zx.dtype),
-            jax.ShapeDtypeStruct((bsz, d_inner, d_state), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((d_inner, d_state), jnp.float32),
             pltpu.VMEM((q, d_inner), jnp.float32),
@@ -810,7 +832,7 @@ def _ssd_mixer_padded(
         ),
         interpret=interpret,
     )(*operands)
-    return y, hlast
+    return outs if checkpoints else (outs[0], outs[1])
 
 
 def _mixer_fwd_impl(zx, dt_p, A, cstate, convw, convb, h0, D, nw, cfg,
@@ -845,44 +867,6 @@ def _mixer_fwd_impl(zx, dt_p, A, cstate, convw, convb, h0, D, nw, cfg,
     return y[:, :seqlen], hlast.reshape(bsz, nheads, hdim, n)
 
 
-def _mixer_xla_twin(zx, dt_p, A, cstate, convw, convb, h0, D, nw, cfg):
-    """Recompute of the conv-fused kernel for the gradient path: the cheap
-    elementwise stages (conv, gate, norm) rerun in XLA; the scan core runs
-    through :func:`ssd_core_pallas` when a kernel backend is available, so
-    its forward/backward are the checkpointed Pallas kernels — none of the
-    XLA chunked core's O(L*Q*H) HBM factors."""
-    from videomamba_tpu.ops.causal_conv1d import causal_conv1d
-    from videomamba_tpu.ops.dispatch import interpret_mode, on_tpu
-    from videomamba_tpu.ops.norm import rms_norm
-    from videomamba_tpu.ops.ssd import ssd_core_chunked
-
-    (nheads, hdim, ngroups, n, d_inner, conv_dim, chunk_size,
-     norm_eps) = cfg
-    bsz, seqlen, _ = zx.shape
-    z2 = zx[..., :d_inner]
-    raw = zx[..., d_inner:d_inner + conv_dim]
-    xbc = causal_conv1d(raw, convw, convb, activation="silu",
-                        initial_state=cstate)
-    gn = ngroups * n
-    x4 = xbc[..., :d_inner].reshape(bsz, seqlen, nheads, hdim)
-    B4 = xbc[..., d_inner:d_inner + gn].reshape(bsz, seqlen, ngroups, n)
-    C4 = xbc[..., d_inner + gn:].reshape(bsz, seqlen, ngroups, n)
-    if on_tpu() or interpret_mode():
-        y, hlast = ssd_core_pallas(x4, dt_p, A, B4, C4, h0,
-                                   chunk_size=chunk_size)
-    else:
-        y, hlast = ssd_core_chunked(x4, dt_p, A, B4, C4, h0,
-                                    chunk_size=chunk_size)
-    y = y + D.astype(jnp.float32)[None, None, :, None] * x4.astype(
-        jnp.float32
-    )
-    y = y.reshape(bsz, seqlen, d_inner)
-    gated = y * jax.nn.silu(z2.astype(jnp.float32))
-    if nw is not None:
-        gated = rms_norm(gated, nw, eps=norm_eps)
-    return gated.astype(zx.dtype), hlast
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
 def _ssd_mixer_core(zx, dt_p, A, cstate, convw, convb, h0, D, nw, cfg,
                     interpret):
@@ -892,41 +876,146 @@ def _ssd_mixer_core(zx, dt_p, A, cstate, convw, convb, h0, D, nw, cfg,
 
 def _mixer_vjp_fwd(zx, dt_p, A, cstate, convw, convb, h0, D, nw, cfg,
                    interpret):
-    out = _mixer_fwd_impl(zx, dt_p, A, cstate, convw, convb, h0, D, nw,
-                          cfg, interpret)
-    return out, (zx, dt_p, A, cstate, convw, convb, h0, D, nw)
+    """Training forward: run the fused kernel WITH residual outputs — the
+    per-chunk entry states (for the Pallas scan backward) and the pre-gate
+    y (for the epilogue gradient) — so the backward never re-runs the scan
+    forward."""
+    (nheads, hdim, ngroups, n, d_inner, conv_dim, chunk_size,
+     norm_eps) = cfg
+    bsz, seqlen, _ = zx.shape
+    q = int(chunk_size)
+    pad = (-seqlen) % q
+    zxf = jnp.pad(zx, ((0, 0), (0, pad), (0, 0))) if pad else zx
+    dtf = jnp.pad(dt_p, ((0, 0), (0, pad), (0, 0))) if pad else dt_p
+    h0f = (
+        h0.astype(jnp.float32).reshape(bsz, nheads * hdim, n)
+        if h0 is not None
+        else jnp.zeros((bsz, nheads * hdim, n), jnp.float32)
+    )
+    cst = (
+        cstate.astype(zx.dtype).swapaxes(1, 2)
+        if cstate is not None
+        else jnp.zeros((bsz, convw.shape[0], conv_dim), zx.dtype)
+    )
+    y, hlast, hins, yd = _ssd_mixer_padded(
+        zxf, dtf.astype(jnp.float32), A.astype(jnp.float32), cst,
+        convw, convb.astype(jnp.float32).reshape(1, conv_dim), h0f,
+        D.astype(jnp.float32),
+        (nw.astype(jnp.float32).reshape(1, d_inner) if nw is not None
+         else None),
+        nheads=nheads, hdim=hdim, ngroups=ngroups, d_state=n,
+        d_inner=d_inner, conv_dim=conv_dim, chunk_size=q,
+        norm_eps=float(norm_eps), interpret=interpret, checkpoints=True,
+    )
+    out = (y[:, :seqlen], hlast.reshape(bsz, nheads, hdim, n))
+    return out, (zx, dtf, A, cstate, convw, convb, h0, D, nw, hins, yd)
 
 
 def _mixer_vjp_bwd(cfg, interpret, res, cts):
-    zx, dt_p, A, cstate, convw, convb, h0, D, nw = res
-    nheads, hdim, ngroups, n, d_inner, conv_dim, _, _ = cfg
-    bsz = zx.shape[0]
-    has_h0 = h0 is not None
-    if not has_h0:
-        h0 = jnp.zeros((bsz, nheads, hdim, n), jnp.float32)
+    """Manual backward assembly: XLA conv recompute (cheap) -> epilogue vjp
+    (elementwise) -> Pallas scan backward from the forward's checkpoints ->
+    conv vjp. No scan-forward recompute."""
+    from videomamba_tpu.ops.causal_conv1d import causal_conv1d
+    from videomamba_tpu.ops.norm import rms_norm
+
+    zx, dtf, A, cstate, convw, convb, h0, D, nw, hins, yd = res
+    (nheads, hdim, ngroups, n, d_inner, conv_dim, chunk_size,
+     norm_eps) = cfg
+    dout, dhlast = cts
+    bsz, seqlen, _ = zx.shape
+    q = int(chunk_size)
+    lp = dtf.shape[1]
+    gn = ngroups * n
+
     has_cst = cstate is not None
-    if not has_cst:
-        cstate = jnp.zeros((bsz, conv_dim, convw.shape[0]), zx.dtype)
-    has_nw = nw is not None
-    diff = (zx, dt_p, A, cstate, convw, convb, h0, D) + (
-        (nw,) if has_nw else ()
+    cst = (
+        cstate if has_cst
+        else jnp.zeros((bsz, conv_dim, convw.shape[0]), zx.dtype)
     )
 
-    def f(*args):
-        if has_nw:
-            *head, w = args
-            return _mixer_xla_twin(*head, w, cfg)
-        return _mixer_xla_twin(*args, None, cfg)
+    # 1. Conv recompute with vjp (one cheap fused XLA pass).
+    z2 = zx[..., :d_inner]
+    raw = zx[..., d_inner:d_inner + conv_dim]
+    xbc, conv_vjp = jax.vjp(
+        lambda r, w, b, c: causal_conv1d(r, w, b, activation="silu",
+                                         initial_state=c),
+        raw, convw, convb, cst,
+    )
+    x4 = xbc[..., :d_inner].reshape(bsz, seqlen, nheads, hdim)
 
-    _, vjp = jax.vjp(f, *diff)
-    grads = vjp(cts)
-    if has_nw:
-        dzx, ddt, dA, dcst, dcw, dcb, dh0, dD, dnw = grads
+    # 2. Epilogue vjp at the stored pre-gate y (elementwise + norm).
+    yd_t = yd[:, :seqlen]
+
+    def epilogue(yd_, z_, *maybe_nw):
+        gated = yd_ * jax.nn.silu(z_.astype(jnp.float32))
+        if maybe_nw:
+            gated = rms_norm(gated, maybe_nw[0], eps=norm_eps)
+        return gated.astype(zx.dtype)
+
+    if nw is not None:
+        _, epi_vjp = jax.vjp(epilogue, yd_t, z2, nw)
+        dyd, dz, dnw = epi_vjp(dout)
     else:
-        dzx, ddt, dA, dcst, dcw, dcb, dh0, dD = grads
+        _, epi_vjp = jax.vjp(epilogue, yd_t, z2)
+        dyd, dz = epi_vjp(dout)
         dnw = None
-    return (dzx, ddt, dA, (dcst if has_cst else None), dcw, dcb,
-            (dh0 if has_h0 else None), dD, dnw)
+
+    # 3. D-skip split: yd = y_scan + D * x.
+    dyd4 = dyd.reshape(bsz, seqlen, nheads, hdim)
+    dD = jnp.sum(
+        dyd4 * x4.astype(jnp.float32), axis=(0, 1, 3)
+    ).astype(D.dtype)
+    dx_from_d = dyd4 * D.astype(jnp.float32)[None, None, :, None]
+
+    # 4. Pallas scan backward from the forward's checkpoints.
+    xf = xbc[..., :d_inner]
+    Bf = xbc[..., d_inner:d_inner + gn]
+    Cf = xbc[..., d_inner + gn:]
+    dyf = dyd
+    if lp != seqlen:
+        padw = ((0, 0), (0, lp - seqlen), (0, 0))
+        xf = jnp.pad(xf, padw)
+        Bf = jnp.pad(Bf, padw)
+        Cf = jnp.pad(Cf, padw)
+        dyf = jnp.pad(dyf, padw)
+    dhl = dhlast.astype(jnp.float32).reshape(bsz, nheads * hdim, n)
+    (dxf, dBf, dCf, ds_col, ds_row, ddtp_col, ddtp_row,
+     dh0f) = _ssd_bwd_padded(
+        xf, dtf, A.astype(jnp.float32), Bf, Cf, hins, dyf, dhl,
+        nheads=nheads, hdim=hdim, ngroups=ngroups, d_state=n,
+        chunk_size=q, interpret=interpret,
+    )
+
+    # 5. Decay-logit chains (same as the core vjp).
+    nc = lp // q
+    ds = ds_col + ds_row.swapaxes(1, 2)
+    ds_c = ds.reshape(bsz, nc, q, nheads)
+    ddtA = jnp.flip(jnp.cumsum(jnp.flip(ds_c, 2), axis=2), 2)
+    ddtA = ddtA.reshape(bsz, lp, nheads)
+    ddtp = (ddtp_col + ddtp_row.swapaxes(1, 2) + ddtA * A[None, None, :])
+    dA = jnp.sum(ddtA * dtf, axis=(0, 1)).astype(A.dtype)
+    # The primal dt_p is the caller's UNPADDED tensor.
+    ddtp = ddtp[:, :seqlen].astype(dtf.dtype)
+
+    # 6. Back through the conv to the raw [x B C] slab.
+    dx4 = dxf[:, :seqlen].reshape(bsz, seqlen, nheads, hdim) + dx_from_d
+    dxbc = jnp.concatenate(
+        [dx4.reshape(bsz, seqlen, d_inner), dBf[:, :seqlen],
+         dCf[:, :seqlen]], axis=-1,
+    ).astype(xbc.dtype)
+    draw, dcw, dcb, dcst = conv_vjp(dxbc)
+
+    # 7. Assemble dzx: [z | x B C | dt]; the dt lanes feed _prepare_dt
+    # OUTSIDE this core, so their grad here is zero (matches the twin).
+    dzx = jnp.concatenate(
+        [dz.astype(zx.dtype), draw.astype(zx.dtype),
+         jnp.zeros((bsz, seqlen, nheads), zx.dtype)], axis=-1,
+    )
+    return (dzx, ddtp, dA, (dcst if has_cst else None),
+            dcw.astype(convw.dtype), dcb.astype(convb.dtype),
+            (dh0f.reshape(bsz, nheads, hdim, n).astype(h0.dtype)
+             if h0 is not None else None),
+            dD, dnw)
 
 
 _ssd_mixer_core.defvjp(_mixer_vjp_fwd, _mixer_vjp_bwd)
