@@ -22,10 +22,19 @@ HBM-bound (64-97 ms vs a ~13 ms matmul floor). This kernel keeps every
   the kernel needs no transposes.
 
 Numerics match ssd_core_chunked: fp32 decay/cumsum/state, contractions in
-x.dtype (bf16 in, bf16 MXU with fp32 accumulation), fp32 y out. The
-backward is a custom_vjp that differentiates the XLA core (recompute) —
-the forward is the serving hot path; training gradients ride the same
-einsum-transpose backward either way.
+x.dtype (bf16 in, bf16 MXU with fp32 accumulation), fp32 y out.
+
+Three entry points:
+* :func:`ssd_core_pallas` — the bare scan, drop-in for ssd_core_chunked.
+* :func:`ssd_mixer_pallas` — the whole Mamba-2 mixer core between the
+  projections: causal conv + SiLU over the [x B C] slab (streaming window
+  honored via a conv-tail scratch carry), scan, D-skip, silu(z) gate,
+  gated RMSNorm — ONE kernel, one HBM read of the in_proj output.
+* Training backward — a hand-written reverse-chunk Pallas kernel
+  (:func:`_ssd_bwd_padded`): the forward checkpoints per-chunk entry
+  states (and, on the mixer path, the pre-gate y), the backward carries
+  dL/dstate in VMEM scratch and emits every cotangent with per-head MXU
+  contractions; only the tiny decay-logit cumsum chains run in XLA.
 
 No counterpart exists in the reference repo (Mamba-1 only; see ops/ssd.py).
 """
