@@ -181,7 +181,7 @@ def _mixer_bwd_kernel(
     # ---- reverse scan phase (math identical to scan._scan_bwd_kernel).
     def bwd_body(gi, s):
         gidx = num_groups - 1 - gi
-        base = pl.multiple_of(gidx * group, group)
+        base = gidx * group
         u_rows = cy_scr[pl.ds(base, group), :]
         d_rows = delta_scr[pl.ds(base, group), :]
         du_rows = d_rows * u_rows
@@ -274,7 +274,11 @@ def _mixer_bwd_kernel(
         dz_ref[0, pl.ds(base, group), :] = dz.astype(dz_ref.dtype)
         return s
 
-    s_final = lax.fori_loop(0, num_groups, bwd_body, s_scr[:])
+    # Statically unrolled (see block_fused.py: fori_loop costs ~70-80 ns per
+    # iteration and walls the scheduler inside an scf.for region).
+    s_final = s_scr[:]
+    for gi in range(num_groups):
+        s_final = bwd_body(gi, s_final)
     s_scr[:] = s_final
     dh0_ref[0] = s_final
     da_ref[0] = da_scr[:]

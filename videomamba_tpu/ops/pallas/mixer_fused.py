@@ -144,7 +144,7 @@ def _mixer_kernel(
     group = 8
 
     def body(g, h):
-        base = pl.multiple_of(g * group, group)
+        base = g * group
         if checkpoints:
             # Group-entry state: fine-grained residual for the backward.
             hckpt_ref[0, g] = h
@@ -161,7 +161,11 @@ def _mixer_kernel(
         yacc_scr[pl.ds(base, group), :] = jnp.concatenate(ys, axis=0)
         return h
 
-    h_final = lax.fori_loop(0, block_l // group, body, h_scratch[:])
+    # Statically unrolled (see block_fused.py: fori_loop costs ~70-80 ns per
+    # iteration and walls the scheduler inside an scf.for region).
+    h_final = h_scratch[:]
+    for g in range(block_l // group):
+        h_final = body(g, h_final)
     h_scratch[:] = h_final
     hlast_ref[0] = h_final
 

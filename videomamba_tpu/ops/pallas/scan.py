@@ -128,7 +128,7 @@ def _scan_kernel(
     group = 8
 
     def body(g, h):
-        base = pl.multiple_of(g * group, group)
+        base = g * group
         if checkpoints:
             # Group-entry state: the fine-grained residual that lets the
             # backward kernel skip its own forward-recompute pass.
@@ -154,7 +154,11 @@ def _scan_kernel(
         yacc_scr[pl.ds(base, group), :] = jnp.concatenate(ys, axis=0)
         return h
 
-    h_final = lax.fori_loop(0, block_l // group, body, h_scratch[:])
+    # Statically unrolled (see block_fused.py: fori_loop costs ~70-80 ns per
+    # iteration and walls the scheduler inside an scf.for region).
+    h_final = h_scratch[:]
+    for g in range(block_l // group):
+        h_final = body(g, h_final)
     h_scratch[:] = h_final
     hlast_ref[0] = h_final
 
@@ -396,7 +400,7 @@ def _scan_bwd_kernel(
 
     def bwd_body(gi, s):
         gidx = num_groups - 1 - gi
-        base = pl.multiple_of(gidx * group, group)
+        base = gidx * group
         u_rows = u_ref[0, pl.ds(base, group), :].astype(jnp.float32)
         draw_rows = delta_ref[0, pl.ds(base, group), :].astype(jnp.float32)
         d_rows = draw_rows + dbias_row
@@ -500,7 +504,11 @@ def _scan_bwd_kernel(
             )
         return s
 
-    s_final = lax.fori_loop(0, num_groups, bwd_body, s_scr[:])
+    # Statically unrolled (see block_fused.py: fori_loop costs ~70-80 ns per
+    # iteration and walls the scheduler inside an scf.for region).
+    s_final = s_scr[:]
+    for gi in range(num_groups):
+        s_final = bwd_body(gi, s_final)
     s_scr[:] = s_final
     dh0_ref[0] = s_final
     da_ref[0] = da_scr[:]
