@@ -178,6 +178,114 @@ def _bwd_kernel(
 
         s_final = lax.fori_loop(0, num_groups, bwd_body, s_scr[:])
 
+    elif variant in ("v2dun", "v2dmx"):
+        # v2dun — v2d with the group loop statically unrolled (production
+        #         structure after the round-3 unroll).
+        # v2dmx — v2dun + every segment reduction and group broadcast
+        #         offloaded to the MXU as 0/1-mask matmuls, co-issued with
+        #         the serial VPU chains (the walk is one basic block, so
+        #         Mosaic can interleave):
+        #           reps:  (8N, 8) one-hot @ (8, D) rows
+        #           sums:  (8, 8N) segment mask @ (8N, D) products
+        use_mx = variant == "v2dmx"
+        a_rep = jnp.concatenate([a_t] * group, axis=0)         # (8N, D)
+        d = delta_scr.shape[1]
+        if use_mx:
+            col8 = lax.broadcasted_iota(jnp.int32, (group * n, 1), 0) // n
+            rep_mask = (col8 == lax.broadcasted_iota(
+                jnp.int32, (group * n, group), 1)).astype(jnp.float32)
+            seg8 = rep_mask.T                                  # (8, 8N)
+            segN = (lax.broadcasted_iota(jnp.int32, (n, group * n), 1) % n
+                    == lax.broadcasted_iota(jnp.int32, (n, group * n), 0)
+                    ).astype(jnp.float32)                      # (N, 8N)
+
+        def bwd_body_un(gi, s):
+            gidx = num_groups - 1 - gi
+            base = gidx * group
+            d_rows = delta_scr[pl.ds(base, group), :]
+            du_rows = du_scr[pl.ds(base, group), :]
+            g2_rows = g2_scr[pl.ds(base, group), :]
+            b8 = b_scr[pl.ds(base, group), :]                  # (8, N)
+            c8 = c_scr[pl.ds(base, group), :]
+            if use_mx:
+                hp = jax.lax.Precision.HIGHEST
+                d_rep = jax.lax.dot(rep_mask, d_rows, precision=hp,
+                                    preferred_element_type=jnp.float32)
+                du_rep = jax.lax.dot(rep_mask, du_rows, precision=hp,
+                                     preferred_element_type=jnp.float32)
+                g2_rep = jax.lax.dot(rep_mask, g2_rows, precision=hp,
+                                     preferred_element_type=jnp.float32)
+            else:
+                d_rep = jnp.concatenate(
+                    [jnp.broadcast_to(d_rows[k:k + 1], (n, d))
+                     for k in range(group)], axis=0)
+                du_rep = jnp.concatenate(
+                    [jnp.broadcast_to(du_rows[k:k + 1], (n, d))
+                     for k in range(group)], axis=0)
+                g2_rep = jnp.concatenate(
+                    [jnp.broadcast_to(g2_rows[k:k + 1], (n, d))
+                     for k in range(group)], axis=0)
+            b_flat = jnp.concatenate(
+                [b8[k][:, None] for k in range(group)], axis=0)
+            c_flat = jnp.concatenate(
+                [c8[k][:, None] for k in range(group)], axis=0)
+            dA_2d = jnp.exp(d_rep * a_rep)
+            dub_2d = b_flat * du_rep
+            dyc_2d = c_flat * g2_rep
+
+            h = hck_ref[0, gidx].astype(jnp.float32)
+            hs = [h]
+            for k in range(group):
+                h = dA_2d[k * n:(k + 1) * n] * h + dub_2d[k * n:(k + 1) * n]
+                hs.append(h)
+            hprev_2d = jnp.concatenate(hs[:-1], axis=0)        # (8N, D)
+            ht_2d = jnp.concatenate(hs[1:], axis=0)
+
+            dhs = [None] * group
+            for k in reversed(range(group)):
+                dh = dyc_2d[k * n:(k + 1) * n] + s
+                dhs[k] = dh
+                s = dA_2d[k * n:(k + 1) * n] * dh
+            dh_2d = jnp.concatenate(dhs, axis=0)
+
+            da_a = dh_2d * hprev_2d * dA_2d                    # (8N, D)
+            if use_mx:
+                da_scr[:] += jax.lax.dot(
+                    segN, da_a * d_rep, precision=hp,
+                    preferred_element_type=jnp.float32)
+                term1 = jax.lax.dot(seg8, da_a * a_rep, precision=hp,
+                                    preferred_element_type=jnp.float32)
+                sB8 = jax.lax.dot(seg8, dh_2d * b_flat, precision=hp,
+                                  preferred_element_type=jnp.float32)
+                pre = jax.lax.dot(seg8, ht_2d * c_flat, precision=hp,
+                                  preferred_element_type=jnp.float32)
+            else:
+                acc = da_a[0:n] * d_rows[0:1]
+                for k in range(1, group):
+                    acc = acc + da_a[k * n:(k + 1) * n] * d_rows[k:k + 1]
+                da_scr[:] += acc
+                t1, sb, pr = [], [], []
+                for k in range(group):
+                    blk = slice(k * n, (k + 1) * n)
+                    t1.append(jnp.sum(da_a[blk] * a_t, axis=0, keepdims=True))
+                    sb.append(jnp.sum(dh_2d[blk] * b8[k][:, None], axis=0,
+                                      keepdims=True))
+                    pr.append(jnp.sum(ht_2d[blk] * c8[k][:, None], axis=0,
+                                      keepdims=True))
+                term1 = jnp.concatenate(t1, axis=0)
+                sB8 = jnp.concatenate(sb, axis=0)
+                pre = jnp.concatenate(pr, axis=0)
+            ddelta = term1 + sB8 * du_rows
+            dy_ref[0, pl.ds(base, group), :] = ddelta.astype(dy_ref.dtype)
+            dcy_ref[0, pl.ds(base, group), :] = (
+                d_rows * sB8 + g2_rows * pre
+            ).astype(dcy_ref.dtype)
+            return s
+
+        s_final = s_scr[:]
+        for gi in range(num_groups):
+            s_final = bwd_body_un(gi, s_final)
+
     else:
         raise ValueError(variant)
 
@@ -274,7 +382,7 @@ def main():
 
         for bl in block_ls:
             ref = None
-            for variant in ("v3d", "v2d"):
+            for variant in ("v3d", "v2d", "v2dun", "v2dmx"):
                 try:
                     outs = bwd_pallas(u, delta, g2, b_cn, c_cn, a_t, hck,
                                       bl, variant)

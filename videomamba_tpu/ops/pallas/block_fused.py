@@ -26,6 +26,7 @@ scan_bwd_pallas, like the fused mixer.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -157,7 +158,7 @@ def _block_kernel(
     group = 8
 
     def body(g, h):
-        base = pl.multiple_of(g * group, group)
+        base = g * group
         if checkpoints:
             # Group-entry state: fine-grained residual for the backward.
             hckpt_ref[0, g] = h
@@ -174,7 +175,14 @@ def _block_kernel(
         yacc_scr[pl.ds(base, group), :] = jnp.concatenate(ys, axis=0)
         return h
 
-    h_final = lax.fori_loop(0, block_l // group, body, h_scratch[:])
+    # Statically unrolled walk: a lax.fori_loop here costs ~70-80 ns per
+    # iteration of loop/branch overhead AND walls the scheduler inside an
+    # scf.for region; unrolling measured the bare walk 13% faster at Base
+    # and 32% at Tiny, and lets the VLIW scheduler overlap neighbouring
+    # groups' exp/extraction with the serial chain (scripts/exp_overlap.py).
+    h_final = h_scratch[:]
+    for g in range(block_l // group):
+        h_final = body(g, h_final)
     h_scratch[:] = h_final
     hlast_ref[0] = h_final
 
@@ -187,6 +195,192 @@ def _block_kernel(
     out = jax.lax.dot(mm2, wout_ref[:].astype(mm2.dtype), precision=precision,
                       preferred_element_type=jnp.float32)
     out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _block_kernel_pipelined(
+    hid_ref,      # (1, c, E) hidden in — block min(l, nb-1)
+    res_ref,      # (1, c, E) residual in
+    nw_ref,       # (1, E) norm weight
+    nb_ref,       # (1, E) norm bias (zeros for rms)
+    win_ref,      # (E, 2*Di)
+    wout_ref,     # (Di, E)
+    convw_ref,    # (W, Di)
+    convb_ref,    # (1, Di)
+    wx_ref,       # (Di, 3*PACK)
+    wdt_ref,      # (PACK, Di)
+    at_ref,       # (N, Di) f32
+    dskip_ref,    # (1, Di) f32
+    dtbias_ref,   # (1, Di) f32
+    h0_ref,       # (1, N, Di) f32
+    cstate_ref,   # (1, W, Di)
+    out_ref,      # out (1, c, E) mixer output — block max(l-1, 0)
+    resout_ref,   # out (1, c, E) post-add residual — block min(l, nb-1)
+    hlast_ref,    # out (1, N, Di) f32
+    h_scratch,    # (N, Di) f32
+    ctx_scr,      # (W-1, Di) f32
+    delta2_scr,   # (2, c, Di) f32 — double-buffered
+    cy2_scr,      # (2, c, Di) f32 — double-buffered
+    z2_scr,       # (2, c, Di) bf16 — double-buffered gate input
+    bc2_scr,      # (2, 2N, c) f32 — double-buffered B/C time-major
+    yacc_scr,     # (c, Di) f32
+    *,
+    block_l: int,
+    width: int,
+    n_state: int,
+    seqlen: int,
+    num_blocks: int,
+    norm_rms: bool,
+    eps: float,
+    highest: bool,
+    static_parity: bool,
+):
+    """Software-pipelined whole-Block forward (serving path).
+
+    The serial scan walk is the critical path (ROADMAP round-3 walk-floor
+    analysis: ~13 us walk vs ~6.6 us MXU per Base time block, back to
+    back), but block l's projections do not depend on block l-1's walk.
+    This kernel runs over ``num_blocks + 1`` grid steps; step ``l``
+    projects block ``l`` (add-norm -> in_proj -> conv -> x/dt proj) into
+    double-buffered scratch AND walks block ``l-1`` from the other slot,
+    all in ONE unrolled basic block so Mosaic's VLIW scheduler co-issues
+    the MXU matmuls with the serial VPU chain (scripts/exp_overlap.py:
+    58-76%% of the matmul time hidden at Base, ~100%% at Tiny). Both
+    stages run unconditionally — a `pl.when` region boundary would wall
+    the scheduler and forfeit the overlap — so step 0 runs a dead walk on
+    a zeroed slot (finite: dA=exp(0)=1 keeps h at h0) and the final step
+    re-projects the clamped last block into a slot nobody reads; the
+    out/resout index maps make the dead writes land on blocks that are
+    rewritten (or identical) before their single flush.
+    """
+    l_idx = pl.program_id(2)
+    n = n_state
+
+    @pl.when(l_idx == 0)
+    def _():
+        h_scratch[:] = h0_ref[0]
+        ctx_scr[:] = cstate_ref[0][1:, :].astype(jnp.float32)
+        # Zero the "previous" slot so step 0's dead walk stays finite.
+        delta2_scr[1] = jnp.zeros_like(delta2_scr[1])
+        cy2_scr[1] = jnp.zeros_like(cy2_scr[1])
+        z2_scr[1] = jnp.zeros_like(z2_scr[1])
+        bc2_scr[1] = jnp.zeros_like(bc2_scr[1])
+
+    def step(slot, prv):
+        # ---- stage A: project block l (input block index clamped
+        # upstream) into the `slot` buffers.
+        res_out = (hid_ref[0].astype(jnp.float32)
+                   + res_ref[0].astype(jnp.float32))
+        resout_ref[0] = res_out.astype(resout_ref.dtype)
+        if norm_rms:
+            var = jnp.mean(jnp.square(res_out), axis=-1, keepdims=True)
+            normed = res_out * jax.lax.rsqrt(var + eps)
+        else:
+            mu = jnp.mean(res_out, axis=-1, keepdims=True)
+            cen = res_out - mu
+            var = jnp.mean(jnp.square(cen), axis=-1, keepdims=True)
+            normed = cen * jax.lax.rsqrt(var + eps)
+        normed = normed * nw_ref[0][None, :] + nb_ref[0][None, :]
+
+        precision = jax.lax.Precision.HIGHEST if highest else None
+        mm0 = normed if highest else normed.astype(win_ref.dtype)
+        xz = jax.lax.dot(mm0, win_ref[:].astype(mm0.dtype),
+                         precision=precision,
+                         preferred_element_type=jnp.float32)   # (c, 2Di)
+        d_inner = win_ref.shape[1] // 2
+        x = xz[:, :d_inner]
+        z = xz[:, d_inner:]
+
+        ctx = jnp.concatenate([ctx_scr[:], x], axis=0)      # (c+W-1, Di)
+        w = convw_ref[:].astype(jnp.float32)
+        cy = w[width - 1][None, :] * x
+        for k in range(width - 1):
+            cy = cy + w[k][None, :] * ctx[k:k + block_l]
+        cy = cy + convb_ref[0][None, :]
+        cy = cy * jax.nn.sigmoid(cy)
+        ctx_scr[:] = x[block_l - (width - 1):, :]           # save for next
+
+        mm1 = cy if highest else cy.astype(wx_ref.dtype)
+        xdbl = jax.lax.dot(mm1, wx_ref[:].astype(mm1.dtype),
+                           precision=precision,
+                           preferred_element_type=jnp.float32)
+        dt_in = xdbl[:, :PACK]
+        dt_mm = dt_in if highest else dt_in.astype(wdt_ref.dtype)
+        delta_raw = jax.lax.dot(dt_mm, wdt_ref[:].astype(dt_mm.dtype),
+                                precision=precision,
+                                preferred_element_type=jnp.float32)
+
+        delta = jax.nn.softplus(delta_raw + dtbias_ref[0][None, :])
+        row_ids = lax.broadcasted_iota(jnp.int32, (block_l, 1), 0)
+        blk_start = jnp.minimum(l_idx, num_blocks - 1) * block_l
+        valid = (blk_start + row_ids) < seqlen
+        delta = jnp.where(valid, delta, 0.0)
+        delta2_scr[slot] = delta
+        cy2_scr[slot] = cy
+        z2_scr[slot] = z.astype(z2_scr.dtype)
+        bc2_scr[slot, :n, :] = xdbl[:, PACK:PACK + n].T
+        bc2_scr[slot, n:2 * n, :] = xdbl[:, 2 * PACK:2 * PACK + n].T
+
+        # ---- stage B: walk block l-1 from the previous slot.
+        a_t = at_ref[:]
+        b_blk = bc2_scr[prv, 0:n, :]                        # (N, c)
+        c_blk = bc2_scr[prv, n:2 * n, :]
+        time_ids = lax.broadcasted_iota(jnp.int32, (1, block_l), 1)
+        group = 8
+
+        def body(g, h):
+            base = g * group
+            d_rows = delta2_scr[prv, pl.ds(base, group), :]
+            du_rows = d_rows * cy2_scr[prv, pl.ds(base, group), :]
+            dA8 = jnp.exp(d_rows[:, None, :] * a_t[None, :, :])
+            ys = []
+            for k in range(group):
+                onehot = (time_ids == base + k).astype(jnp.float32)
+                b_t = jnp.sum(b_blk * onehot, axis=1, keepdims=True)
+                c_t = jnp.sum(c_blk * onehot, axis=1, keepdims=True)
+                h = dA8[k] * h + du_rows[k:k + 1, :] * b_t
+                ys.append(jnp.sum(c_t * h, axis=0, keepdims=True))
+            yacc_scr[pl.ds(base, group), :] = jnp.concatenate(ys, axis=0)
+            return h
+
+        # Statically unrolled — both for the ~70-80 ns/iteration fori_loop
+        # cost and so stage A's matmuls share the basic block with this
+        # serial chain.
+        h_final = h_scratch[:]
+        for g in range(block_l // group):
+            h_final = body(g, h_final)
+        h_scratch[:] = h_final
+        hlast_ref[0] = h_final
+
+        cy_prev = cy2_scr[prv]
+        y = yacc_scr[:] + cy_prev * dskip_ref[0][None, :]
+        zf = z2_scr[prv].astype(jnp.float32)
+        y = y * (zf * jax.nn.sigmoid(zf))
+
+        mm2 = y if highest else y.astype(wout_ref.dtype)
+        out = jax.lax.dot(mm2, wout_ref[:].astype(mm2.dtype),
+                          precision=precision,
+                          preferred_element_type=jnp.float32)
+        out_ref[0] = out.astype(out_ref.dtype)
+
+    if static_parity:
+        # Static parity specialization: a dynamic `l % 2` slot index costs
+        # a per-access address computation inside the walk (measured ~20%
+        # on Tiny serving); two statically-indexed copies keep every
+        # scratch access at a fixed offset, and each pl.when body is still
+        # one basic block so the stage-A matmuls overlap the serial walk.
+        # Costs ~2x scoped-VMEM stack (the branches' stacks appear to sum
+        # in the 16 MB accounting), so the wrapper only selects it for
+        # small working sets; big models use the dynamic-slot form below.
+        @pl.when(lax.rem(l_idx, 2) == 0)
+        def _():
+            step(0, 1)
+
+        @pl.when(lax.rem(l_idx, 2) == 1)
+        def _():
+            step(1, 0)
+    else:
+        slot = lax.rem(l_idx, 2)
+        step(slot, 1 - slot)
 
 
 @functools.partial(
@@ -236,6 +430,35 @@ def block_fused_pallas(
     block_l = ((block_l + 7) // 8) * 8
     if block_l <= width:
         raise ValueError("block_l must exceed the conv width.")
+
+    pipelined = not checkpoints and os.environ.get(
+        "VIDEOMAMBA_BLOCK_PIPELINE", "1"
+    ) != "0"
+    static_parity = False
+    if pipelined:
+        # Working-set estimate, calibrated against the compiler's scoped
+        # VMEM accounting (Base c=128 measures 17.75 MB there yet fits the
+        # 16 MB limit in the dynamic-slot form — the estimate runs hot by
+        # ~2 MB). Small sets get the statically parity-specialized kernel
+        # (faster walk addressing, ~2x stack); mid-size sets the
+        # dynamic-slot kernel; anything beyond what Base measures falls
+        # back to the plain kernel.
+        wb = win.dtype.itemsize
+        hb = hidden.dtype.itemsize
+        rb = 4 if residual_fp32 else hb
+        zb = 4 if (highest or hidden.dtype == jnp.float32) else 2
+        weights = (e * 2 * d_inner + d_inner * e + width * d_inner
+                   + d_inner * 3 * PACK + PACK * d_inner) * wb
+        blocks = 2 * (block_l * e * hb * 2 + block_l * e * rb * 2)
+        scratch = (block_l * d_inner * (2 * 4 + 2 * 4 + 2 * zb + 4)
+                   + n * d_inner * 4 + (width - 1) * d_inner * 4
+                   + 2 * 2 * n * block_l * 4)
+        temps = int(2.25 * block_l * d_inner * 4)
+        est = weights + blocks + scratch + temps
+        if est <= 8 * 1024 * 1024:
+            static_parity = True
+        elif est > 18 * 1024 * 1024:
+            pipelined = False
     pad = (-seqlen) % block_l
     lpad = seqlen + pad
     if pad:
@@ -254,18 +477,33 @@ def block_fused_pallas(
           ).astype(jnp.float32)[None, :]
     res_dtype = jnp.float32 if residual_fp32 else hidden.dtype
 
-    grid = (bsz, 1, num_blocks)
-    kernel = functools.partial(
-        _block_kernel, block_l=block_l, width=width, n_state=n,
-        seqlen=seqlen, norm_rms=norm_rms, eps=eps, highest=highest,
-        checkpoints=checkpoints,
-    )
-
-    full = lambda b, j, l: (b, l, 0)  # noqa: E731
+    # Serving path (no backward checkpoints): software-pipelined kernel —
+    # one extra grid step, block l's projections co-scheduled with block
+    # l-1's serial walk (see _block_kernel_pipelined). Training keeps the
+    # plain kernel (the checkpoint stream couples the stages).
+    if pipelined:
+        grid = (bsz, 1, num_blocks + 1)
+        kernel = functools.partial(
+            _block_kernel_pipelined, block_l=block_l, width=width, n_state=n,
+            seqlen=seqlen, num_blocks=num_blocks, norm_rms=norm_rms, eps=eps,
+            highest=highest, static_parity=static_parity,
+        )
+        nb_clamp = num_blocks - 1
+        full = lambda b, j, l: (b, jnp.minimum(l, nb_clamp), 0)  # noqa: E731
+        lagged = lambda b, j, l: (b, jnp.maximum(l - 1, 0), 0)  # noqa: E731
+    else:
+        grid = (bsz, 1, num_blocks)
+        kernel = functools.partial(
+            _block_kernel, block_l=block_l, width=width, n_state=n,
+            seqlen=seqlen, norm_rms=norm_rms, eps=eps, highest=highest,
+            checkpoints=checkpoints,
+        )
+        full = lambda b, j, l: (b, l, 0)  # noqa: E731
+        lagged = full
     fixed = lambda b, j, l: (0, 0)  # noqa: E731
 
     out_specs = [
-        pl.BlockSpec((1, block_l, e), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_l, e), lagged, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, block_l, e), full, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, n, d_inner), lambda b, j, l: (b, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -309,13 +547,33 @@ def block_fused_pallas(
         ],
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((n, d_inner), jnp.float32),
-            pltpu.VMEM((width - 1, d_inner), jnp.float32),
-            pltpu.VMEM((block_l, d_inner), jnp.float32),
-            pltpu.VMEM((block_l, d_inner), jnp.float32),
-            pltpu.VMEM((block_l, d_inner), jnp.float32),
-        ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((n, d_inner), jnp.float32),
+                pltpu.VMEM((width - 1, d_inner), jnp.float32),
+                pltpu.VMEM((2, block_l, d_inner), jnp.float32),   # delta
+                pltpu.VMEM((2, block_l, d_inner), jnp.float32),   # conv out
+                # Gate input: bf16 on the bf16 serving path (matches the
+                # ambient precision and saves ~0.8 MB VMEM at Base);
+                # full f32 when the computation itself is f32.
+                pltpu.VMEM(
+                    (2, block_l, d_inner),
+                    jnp.float32
+                    if (highest or hidden.dtype == jnp.float32)
+                    else jnp.bfloat16,
+                ),
+                pltpu.VMEM((2, 2 * n, block_l), jnp.float32),     # B/C
+                pltpu.VMEM((block_l, d_inner), jnp.float32),      # y acc
+            ]
+            if pipelined
+            else [
+                pltpu.VMEM((n, d_inner), jnp.float32),
+                pltpu.VMEM((width - 1, d_inner), jnp.float32),
+                pltpu.VMEM((block_l, d_inner), jnp.float32),
+                pltpu.VMEM((block_l, d_inner), jnp.float32),
+                pltpu.VMEM((block_l, d_inner), jnp.float32),
+            ]
+        ),
         interpret=interpret,
     )(hidden, residual, nw, nb, win, wout, conv_w, convb, wx_pack, wdt_pack,
       a_t, dskip, dtb, h0_nd, cstate_wd)
