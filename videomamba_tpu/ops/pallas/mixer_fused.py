@@ -27,6 +27,7 @@ the matmul/conv chains in XLA.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -175,6 +176,151 @@ def _mixer_kernel(
     y_ref[0] = y.astype(y_ref.dtype)
 
 
+def _mixer_kernel_pipelined(
+    x_ref,        # (1, c, Di) conv input — block min(l, nb-1)
+    z_ref,        # (1, c, Di) gate input — block min(l, nb-1)
+    cstate_ref,   # (1, W, Di) streaming conv window (raw inputs)
+    convw_ref,    # (W, Di)
+    convb_ref,    # (1, Di)
+    wx_ref,       # (Di, 3*PACK)
+    wdt_ref,      # (PACK, Di)
+    at_ref,       # (N, Di) f32
+    dskip_ref,    # (1, Di) f32
+    dtbias_ref,   # (1, Di) f32
+    h0_ref,       # (1, N, Di) f32
+    y_ref,        # out (1, c, Di) — block max(l-1, 0)
+    hlast_ref,    # out (1, N, Di) f32
+    *rest,
+    block_l: int,
+    width: int,
+    n_state: int,
+    seqlen: int,
+    num_blocks: int,
+    highest: bool,
+    checkpoints: bool,
+    static_parity: bool,
+):
+    """Software-pipelined fused-mixer forward.
+
+    Same two-stage structure as ``block_fused._block_kernel_pipelined``
+    (see its docstring for the scheduling rationale): ``num_blocks + 1``
+    grid steps, step ``l`` projects block ``l`` (conv + x/dt proj) into
+    double-buffered scratch while walking block ``l-1`` from the other
+    slot, in one basic block so Mosaic co-issues the MXU matmuls with the
+    serial VPU chain. Unlike the whole-Block serving kernel this variant
+    also supports ``checkpoints=True`` — the group-entry states of block
+    ``l-1`` are produced during its walk, so the checkpoint output simply
+    uses the same lagged index map as ``y`` (training forward pipelines
+    exactly like serving).
+    """
+    if checkpoints:
+        (hckpt_ref, h_scratch, ctx_scr, delta2_scr, cy2_scr, z2_scr,
+         bc2_scr, yacc_scr) = rest
+    else:
+        (h_scratch, ctx_scr, delta2_scr, cy2_scr, z2_scr, bc2_scr,
+         yacc_scr) = rest
+        hckpt_ref = None
+    l_idx = pl.program_id(2)
+    n = n_state
+
+    @pl.when(l_idx == 0)
+    def _():
+        h_scratch[:] = h0_ref[0]
+        ctx_scr[:] = cstate_ref[0][1:, :].astype(jnp.float32)
+        # Zero the "previous" slot so step 0's dead walk stays finite
+        # (delta=0 -> dA=1, du=0: h remains h0).
+        delta2_scr[1] = jnp.zeros_like(delta2_scr[1])
+        cy2_scr[1] = jnp.zeros_like(cy2_scr[1])
+        z2_scr[1] = jnp.zeros_like(z2_scr[1])
+        bc2_scr[1] = jnp.zeros_like(bc2_scr[1])
+
+    def step(slot, prv):
+        # ---- stage A: project block min(l, nb-1) into the `slot` buffers.
+        x = x_ref[0].astype(jnp.float32)                   # (c, Di)
+        ctx = jnp.concatenate([ctx_scr[:], x], axis=0)     # (c+W-1, Di)
+        w = convw_ref[:].astype(jnp.float32)
+        cy = w[width - 1][None, :] * x
+        for k in range(width - 1):
+            cy = cy + w[k][None, :] * ctx[k:k + block_l]
+        cy = cy + convb_ref[0][None, :]
+        cy = cy * jax.nn.sigmoid(cy)                       # conv_out f32
+        ctx_scr[:] = x[block_l - (width - 1):, :]          # carry for l+1
+
+        precision = jax.lax.Precision.HIGHEST if highest else None
+        mm_in = cy if highest else cy.astype(wx_ref.dtype)
+        xdbl = jax.lax.dot(mm_in, wx_ref[:].astype(mm_in.dtype),
+                           precision=precision,
+                           preferred_element_type=jnp.float32)
+        dt_in = xdbl[:, :PACK]
+        dt_mm = dt_in if highest else dt_in.astype(wdt_ref.dtype)
+        delta_raw = jax.lax.dot(dt_mm, wdt_ref[:].astype(dt_mm.dtype),
+                                precision=precision,
+                                preferred_element_type=jnp.float32)
+
+        delta = jax.nn.softplus(delta_raw + dtbias_ref[0][None, :])
+        row_ids = lax.broadcasted_iota(jnp.int32, (block_l, 1), 0)
+        blk_start = jnp.minimum(l_idx, num_blocks - 1) * block_l
+        valid = (blk_start + row_ids) < seqlen
+        delta = jnp.where(valid, delta, 0.0)
+        delta2_scr[slot] = delta
+        cy2_scr[slot] = cy
+        z2_scr[slot] = z_ref[0].astype(z2_scr.dtype)
+        bc2_scr[slot, :n, :] = xdbl[:, PACK:PACK + n].T
+        bc2_scr[slot, n:2 * n, :] = xdbl[:, 2 * PACK:2 * PACK + n].T
+
+        # ---- stage B: walk block l-1 from the previous slot.
+        a_t = at_ref[:]
+        b_blk = bc2_scr[prv, 0:n, :]                       # (N, c)
+        c_blk = bc2_scr[prv, n:2 * n, :]
+        time_ids = lax.broadcasted_iota(jnp.int32, (1, block_l), 1)
+        group = 8
+
+        def body(g, h):
+            base = g * group
+            if checkpoints:
+                hckpt_ref[0, g] = h
+            d_rows = delta2_scr[prv, pl.ds(base, group), :]
+            du_rows = d_rows * cy2_scr[prv, pl.ds(base, group), :]
+            dA8 = jnp.exp(d_rows[:, None, :] * a_t[None, :, :])
+            ys = []
+            for k in range(group):
+                onehot = (time_ids == base + k).astype(jnp.float32)
+                b_t = jnp.sum(b_blk * onehot, axis=1, keepdims=True)
+                c_t = jnp.sum(c_blk * onehot, axis=1, keepdims=True)
+                h = dA8[k] * h + du_rows[k:k + 1, :] * b_t
+                ys.append(jnp.sum(c_t * h, axis=0, keepdims=True))
+            yacc_scr[pl.ds(base, group), :] = jnp.concatenate(ys, axis=0)
+            return h
+
+        # Statically unrolled — both for the fori_loop per-iteration cost
+        # and so stage A's matmuls share the basic block with this chain.
+        h_final = h_scratch[:]
+        for g in range(block_l // group):
+            h_final = body(g, h_final)
+        h_scratch[:] = h_final
+        hlast_ref[0] = h_final
+
+        y = yacc_scr[:] + cy2_scr[prv] * dskip_ref[0][None, :]
+        zf = z2_scr[prv].astype(jnp.float32)
+        y = y * (zf * jax.nn.sigmoid(zf))
+        y_ref[0] = y.astype(y_ref.dtype)
+
+    if static_parity:
+        # See block_fused: static slot indices keep walk addressing free
+        # but the two branch bodies' scoped-VMEM stacks sum, so the
+        # wrapper only picks this form for small working sets.
+        @pl.when(lax.rem(l_idx, 2) == 0)
+        def _():
+            step(0, 1)
+
+        @pl.when(lax.rem(l_idx, 2) == 1)
+        def _():
+            step(1, 0)
+    else:
+        slot = lax.rem(l_idx, 2)
+        step(slot, 1 - slot)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("block_l", "interpret", "checkpoints", "highest"),
@@ -228,18 +374,96 @@ def mixer_fused_pallas(
     cstate_wd = conv_state.swapaxes(1, 2)
     convb = conv_b.astype(jnp.float32)[None, :]
 
-    grid = (bsz, 1, num_blocks)
-    kernel = functools.partial(
-        _mixer_kernel, block_l=block_l, width=width, n_state=n,
-        seqlen=seqlen, highest=highest, checkpoints=checkpoints,
-    )
+    # Software pipelining (project block l while walking block l-1): same
+    # gating structure as block_fused — estimate the scoped-VMEM working
+    # set, pick the static-parity form for small sets (free walk
+    # addressing, ~2x stack), the dynamic-slot form for mid-size, and the
+    # plain kernel beyond that.
+    pipelined = os.environ.get("VIDEOMAMBA_MIXER_PIPELINE", "1") != "0"
+    static_parity = False
+    if pipelined:
+        wb = wx_pack.dtype.itemsize
+        xb = x_in.dtype.itemsize
+        zb = 4 if (highest or x_in.dtype == jnp.float32) else 2
+        weights = (width * d_inner + d_inner * 3 * PACK
+                   + PACK * d_inner) * wb
+        blocks = 2 * (2 * block_l * d_inner * xb        # x, z in
+                      + block_l * d_inner * xb)          # y out
+        if checkpoints:
+            blocks += 2 * (block_l // 8) * n * d_inner * 4
+        scratch_est = (block_l * d_inner * (2 * 4 + 2 * 4 + 2 * zb + 4)
+                       + n * d_inner * 4 + (width - 1) * d_inner * 4
+                       + 2 * 2 * n * block_l * 4)
+        temps = int(2.25 * block_l * d_inner * 4)
+        est = weights + blocks + scratch_est + temps
+        if est <= 8 * 1024 * 1024:
+            static_parity = True
+        elif est > 18 * 1024 * 1024:
+            pipelined = False
 
     full = lambda b, j, l: (b, l, 0)  # noqa: E731
     prev = lambda b, j, l: (b, jnp.maximum(l - 1, 0), 0)  # noqa: E731
     fixed = lambda b, j, l: (0, 0)  # noqa: E731
 
+    if pipelined:
+        grid = (bsz, 1, num_blocks + 1)
+        kernel = functools.partial(
+            _mixer_kernel_pipelined, block_l=block_l, width=width,
+            n_state=n, seqlen=seqlen, num_blocks=num_blocks,
+            highest=highest, checkpoints=checkpoints,
+            static_parity=static_parity,
+        )
+        nb_clamp = num_blocks - 1
+        full_c = lambda b, j, l: (b, jnp.minimum(l, nb_clamp), 0)  # noqa: E731
+        lagged = prev
+        in_specs = [
+            pl.BlockSpec((1, block_l, d_inner), full_c,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_l, d_inner), full_c,
+                         memory_space=pltpu.VMEM),
+        ]
+        operands_head = (x_in, z_in)
+        scratch = [
+            pltpu.VMEM((n, d_inner), jnp.float32),
+            pltpu.VMEM((width - 1, d_inner), jnp.float32),
+            pltpu.VMEM((2, block_l, d_inner), jnp.float32),   # delta
+            pltpu.VMEM((2, block_l, d_inner), jnp.float32),   # conv out
+            pltpu.VMEM(
+                (2, block_l, d_inner),
+                jnp.float32
+                if (highest or x_in.dtype == jnp.float32)
+                else jnp.bfloat16,
+            ),                                                # gate input
+            pltpu.VMEM((2, 2 * n, block_l), jnp.float32),     # B/C
+            pltpu.VMEM((block_l, d_inner), jnp.float32),      # y acc
+        ]
+    else:
+        grid = (bsz, 1, num_blocks)
+        kernel = functools.partial(
+            _mixer_kernel, block_l=block_l, width=width, n_state=n,
+            seqlen=seqlen, highest=highest, checkpoints=checkpoints,
+        )
+        full_c = full
+        lagged = full
+        in_specs = [
+            pl.BlockSpec((1, block_l, d_inner), full,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_l, d_inner), prev,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_l, d_inner), full,
+                         memory_space=pltpu.VMEM),
+        ]
+        operands_head = (x_in, x_in, z_in)
+        scratch = [
+            pltpu.VMEM((n, d_inner), jnp.float32),
+            pltpu.VMEM((block_l, d_inner), jnp.float32),  # conv_out
+            pltpu.VMEM((block_l, d_inner), jnp.float32),  # delta
+            pltpu.VMEM((block_l, d_inner), jnp.float32),  # delta*u
+            pltpu.VMEM((block_l, d_inner), jnp.float32),  # yacc
+        ]
+
     out_specs = [
-        pl.BlockSpec((1, block_l, d_inner), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_l, d_inner), lagged, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, n, d_inner), lambda b, j, l: (b, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
@@ -247,18 +471,11 @@ def mixer_fused_pallas(
         jax.ShapeDtypeStruct((bsz, lpad, d_inner), x_in.dtype),
         jax.ShapeDtypeStruct((bsz, n, d_inner), jnp.float32),
     ]
-    scratch = [
-        pltpu.VMEM((n, d_inner), jnp.float32),
-        pltpu.VMEM((block_l, d_inner), jnp.float32),  # conv_out
-        pltpu.VMEM((block_l, d_inner), jnp.float32),  # delta
-        pltpu.VMEM((block_l, d_inner), jnp.float32),  # delta*u
-        pltpu.VMEM((block_l, d_inner), jnp.float32),  # yacc
-    ]
     if checkpoints:
         groups_per_block = block_l // 8
         out_specs.append(
             pl.BlockSpec((1, groups_per_block, n, d_inner),
-                         lambda b, j, l: (b, l, 0, 0),
+                         lambda b, j, l: lagged(b, j, l) + (0,),
                          memory_space=pltpu.VMEM)
         )
         out_shape.append(
@@ -268,10 +485,7 @@ def mixer_fused_pallas(
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_l, d_inner), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_l, d_inner), prev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_l, d_inner), full, memory_space=pltpu.VMEM),
+        in_specs=in_specs + [
             pl.BlockSpec((1, width, d_inner), lambda b, j, l: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((width, d_inner), fixed, memory_space=pltpu.VMEM),
@@ -288,7 +502,7 @@ def mixer_fused_pallas(
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(x_in, x_in, z_in, cstate_wd, conv_w, convb, wx_pack, wdt_pack,
+    )(*operands_head, cstate_wd, conv_w, convb, wx_pack, wdt_pack,
       a_t, dskip, dtb, h0_nd)
 
     if checkpoints:
