@@ -435,6 +435,7 @@ def block_fused_pallas(
         "VIDEOMAMBA_BLOCK_PIPELINE", "1"
     ) != "0"
     static_parity = False
+    est = 0
     if pipelined:
         # Working-set estimate, calibrated against the compiler's scoped
         # VMEM accounting (Base c=128 measures 17.75 MB there yet fits the
@@ -459,6 +460,16 @@ def block_fused_pallas(
             static_parity = True
         elif est > 18 * 1024 * 1024:
             pipelined = False
+        # VIDEOMAMBA_BLOCK_STATIC=1/0 overrides the form choice (A/B knob).
+        # Closed door (2026-08-18, v5e): forcing static-parity at Base with
+        # the scoped-VMEM limit raised to 100 MB compiles fine but measures
+        # 37.0 vs 34.6 ms/chunk (2 runs each) — the doubled branch-body
+        # VMEM squeezes the input double-buffering; Base keeps dynamic-slot.
+        force = os.environ.get("VIDEOMAMBA_BLOCK_STATIC")
+        if force == "1" and pipelined:
+            static_parity = True
+        elif force == "0":
+            static_parity = False
     pad = (-seqlen) % block_l
     lpad = seqlen + pad
     if pad:
@@ -575,6 +586,16 @@ def block_fused_pallas(
             ]
         ),
         interpret=interpret,
+        # The static-parity form's two pl.when branch bodies stack their
+        # scoped VMEM, overflowing the default 16 MB limit at Base
+        # (17.75 MB) though the chip has far more physical VMEM. Raise the
+        # limit only when that form is forced past its gate (the default
+        # forms compile — and measure — identically under the default).
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+            if static_parity and est > 8 * 1024 * 1024
+            else None
+        ),
     )(hidden, residual, nw, nb, win, wout, conv_w, convb, wx_pack, wdt_pack,
       a_t, dskip, dtb, h0_nd, cstate_wd)
 
