@@ -426,6 +426,9 @@ def block_fused_pallas(
     n = A.shape[1]
     width = conv_w.shape[0]
 
+    env_bl = os.environ.get("VIDEOMAMBA_BLOCK_BLOCK_L")  # sweep knob
+    if env_bl:
+        block_l = int(env_bl)
     block_l = min(block_l, max(8, seqlen))
     block_l = ((block_l + 7) // 8) * 8
     if block_l <= width:

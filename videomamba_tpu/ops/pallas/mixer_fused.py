@@ -356,6 +356,9 @@ def mixer_fused_pallas(
     n = A.shape[1]
     width = conv_w.shape[0]
 
+    env_bl = os.environ.get("VIDEOMAMBA_MIXER_BLOCK_L")  # sweep knob
+    if env_bl:
+        block_l = int(env_bl)
     block_l = min(block_l, max(8, seqlen))
     block_l = ((block_l + 7) // 8) * 8
     if block_l <= width:
@@ -502,6 +505,19 @@ def mixer_fused_pallas(
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
+        # The pipelined forms' double-buffered scratch exceeds the 16 MB
+        # scoped-VMEM default at block_l > 64 with the training checkpoint
+        # stream (16.1 MB at block_l=100, Base) — without a raised limit
+        # the public block_l kwarg is a compile error, not a knob. The
+        # raise is conditional because it isn't free: interleaved A/B at
+        # the default (Base train, bl=64) measured ~80.9 vs ~79.9 ms with
+        # the limit always at 100 MB (less aggressive DMA buffering), and
+        # the swept default fits the 16 MB budget anyway.
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+            if pipelined and block_l > DEFAULT_BLOCK_L
+            else None
+        ),
     )(*operands_head, cstate_wd, conv_w, convb, wx_pack, wdt_pack,
       a_t, dskip, dtb, h0_nd)
 
