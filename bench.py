@@ -264,6 +264,94 @@ def bench_train_step(preset_fn, name, num_frames, batch_size, quick):
     }
 
 
+def bench_train_pipeline_ab(preset_fn, name, num_frames, batch_size, quick):
+    """Interleaved pipelined vs non-pipelined fused-mixer train A/B.
+
+    Compiles BOTH train-step programs first (the VIDEOMAMBA_MIXER_PIPELINE
+    knob is read at trace time), then alternates timed chains A,B,A,B in one
+    session — the only comparison that is valid on the time-shared chip
+    (absolute numbers drift ±20%+ hour to hour). Emits ``{name}_step_ms``
+    (pipelined, the production default) and ``{name}_nopipe_step_ms`` so the
+    round artifact carries its own evidence for the pipelining claim.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from videomamba_tpu.parallel.train_step import make_train_step
+
+    model = preset_fn(num_frames=num_frames)
+    tx = optax.adamw(1e-4, weight_decay=0.05)
+    params = model.params
+    opt_state = jax.jit(tx.init)(params)
+
+    key = jax.random.PRNGKey(0)
+    video = jax.random.normal(
+        key, (batch_size, 3, num_frames, 224, 224), jnp.float32)
+    out_shape = jax.eval_shape(
+        lambda p, v: model.apply(p, v, deterministic=True), params, video)
+    x_vis = out_shape[0] if isinstance(out_shape, tuple) else out_shape
+    target = jnp.zeros(x_vis.shape, jnp.float32)
+    carry0 = (params, opt_state, jnp.zeros((), jnp.int32))
+    rng = jax.random.PRNGKey(1)
+
+    prev_env = os.environ.get("VIDEOMAMBA_MIXER_PIPELINE")
+    arms = {}
+    try:
+        for arm, env_val in (("pipe", "1"), ("nopipe", "0")):
+            os.environ["VIDEOMAMBA_MIXER_PIPELINE"] = env_val
+            train_step = make_train_step(
+                model, tx, compute_dtype=jnp.bfloat16, donate=False)
+
+            @jax.jit
+            def run(carry, n, video, target, rng, _ts=train_step):
+                def body(i, c):
+                    p, o, s = c
+                    p, o, s, _ = _ts(
+                        p, o, s, {"video": video, "target": target}, rng)
+                    return (p, o, s)
+                out = jax.lax.fori_loop(0, n, body, carry)
+                leaves = jax.tree_util.tree_leaves(out)
+                return sum(
+                    jnp.sum(l.astype(jnp.float32) * 0)
+                    + jnp.ravel(l)[0].astype(jnp.float32)
+                    for l in leaves)
+
+            # Compile + warm while the knob is set: the env var becomes part
+            # of the traced program here.
+            jax.device_get(run(carry0, 1, video, target, rng))
+            arms[arm] = run
+    finally:
+        if prev_env is None:
+            os.environ.pop("VIDEOMAMBA_MIXER_PIPELINE", None)
+        else:
+            os.environ["VIDEOMAMBA_MIXER_PIPELINE"] = prev_env
+
+    n_small, n_big = (1, 4) if quick else (1, 8)
+    samples = {"pipe": [], "nopipe": []}
+    for _ in range(2 if quick else 4):
+        for arm in ("pipe", "nopipe"):  # interleave within each repeat
+            run = arms[arm]
+            t0 = time.perf_counter()
+            jax.device_get(run(carry0, n_big, video, target, rng))
+            t1 = time.perf_counter()
+            jax.device_get(run(carry0, n_small, video, target, rng))
+            t2 = time.perf_counter()
+            samples[arm].append(
+                max(((t1 - t0) - (t2 - t1)) / (n_big - n_small), 1e-9))
+
+    tokens = 1 + num_frames * (224 // 16) * (224 // 16)
+    flops = 3 * model_forward_flops(model, batch_size, tokens)
+    out = {}
+    for arm, suffix in (("pipe", ""), ("nopipe", "_nopipe")):
+        sec = _robust_stats(samples[arm], f"{name}{suffix}")[0]
+        out[f"{name}{suffix}_step_ms"] = sec * 1e3
+        out[f"{name}{suffix}_mfu"] = flops / sec / PEAK_FLOPS
+        if not suffix:
+            out[f"{name}_clips_per_sec"] = batch_size / sec
+    return out
+
+
 def bench_train_step_donated(preset_fn, name, num_frames, batch_size, quick):
     """Production train recipe: one jit call per step with DONATED buffers
     (params/opt-state reuse across the program boundary — what a real
@@ -443,9 +531,19 @@ def main():
     except Exception as e:  # round-2 saw remote-compile 500s at this size
         print(f"# base_stream_b16 skipped: {type(e).__name__}: {e}",
               flush=True)
-    details.update(
-        bench_train_step(videomamba_base, "base_train", 8, 4, args.quick)
-    )
+    # Paired pipelined/non-pipelined train step (interleaved, one session)
+    # so the round artifact self-evidences the pipelining claim.
+    try:
+        details.update(
+            bench_train_pipeline_ab(videomamba_base, "base_train", 8, 4,
+                                    args.quick)
+        )
+    except Exception as e:
+        print(f"# base_train A/B degraded to single-arm: "
+              f"{type(e).__name__}: {e}", flush=True)
+        details.update(
+            bench_train_step(videomamba_base, "base_train", 8, 4, args.quick)
+        )
     try:
         details.update(
             bench_train_step_donated(

@@ -3,9 +3,10 @@
 Usage: VIDEOMAMBA_MIXER_PIPELINE=0 python scripts/ab_train.py [train|stream|tiny]
 """
 import json
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # noqa: E402
 from videomamba_tpu.models.presets import videomamba_base, videomamba_tiny  # noqa: E402
 

@@ -182,6 +182,62 @@ def test_hybrid_mesh_matches_single_device(single_device_step):
     assert abs(float(metrics["grad_norm"]) - gn0) <= 1e-5 * max(1.0, abs(gn0))
 
 
+class _FakeSliceDevice:
+    """Minimal stand-in for a multi-slice TPU device: carries the
+    ``slice_index`` attribute ``mesh_utils.create_hybrid_device_mesh`` keys
+    on (no multi-slice hardware exists in this environment)."""
+
+    def __init__(self, dev_id: int, slice_index: int):
+        self.id = dev_id
+        self.slice_index = slice_index
+        self.process_index = slice_index
+        self.platform = "cpu"
+        self.device_kind = "fake-slice-device"
+
+    def __repr__(self):
+        return f"FakeDev(id={self.id}, slice={self.slice_index})"
+
+
+def test_hybrid_mesh_multislice_dcn_factoring():
+    """The multi-slice branch of make_hybrid_mesh (synthetic slice_index
+    devices): DCN axes must factor ACROSS slices and ICI axes must stay
+    WITHIN a slice — i.e. every dp row of the mesh is exactly one slice."""
+    from videomamba_tpu.parallel import make_hybrid_mesh
+
+    devs = [_FakeSliceDevice(i, i // 4) for i in range(8)]  # 2 slices x 4
+    mesh = make_hybrid_mesh(
+        {"dp": (2, 1), "fsdp": (1, 2), "tp": (1, 2)}, devices=devs
+    )
+    assert dict(mesh.shape) == {"dp": 2, "fsdp": 2, "tp": 2}
+    arr = np.asarray(mesh.devices)
+    assert arr.shape == (2, 2, 2)
+    # dp (the DCN axis) indexes slices; fsdp/tp (ICI axes) never cross one.
+    slice_sets = [{d.slice_index for d in arr[i].ravel()} for i in range(2)]
+    assert slice_sets == [{0}, {1}]
+    # All 8 devices appear exactly once.
+    assert sorted(d.id for d in arr.ravel()) == list(range(8))
+
+    # A DCN factoring that doesn't match the slice count must be rejected
+    # by the underlying factory, not silently mis-assigned.
+    with pytest.raises(ValueError):
+        make_hybrid_mesh(
+            {"dp": (4, 1), "fsdp": (1, 1), "tp": (1, 2)}, devices=devs
+        )
+
+
+def test_hybrid_mesh_multislice_ici_axes_span_slices_when_dcn_trivial():
+    """4 slices, all-DCN dp: the granule meshes are concatenated along the
+    leading (dp) axis in slice order."""
+    from videomamba_tpu.parallel import make_hybrid_mesh
+
+    devs = [_FakeSliceDevice(i, i // 2) for i in range(8)]  # 4 slices x 2
+    mesh = make_hybrid_mesh({"dp": (4, 1), "tp": (1, 2)}, devices=devs)
+    assert dict(mesh.shape) == {"dp": 4, "tp": 2}
+    arr = np.asarray(mesh.devices)
+    for i in range(4):
+        assert {d.slice_index for d in arr[i]} == {i}
+
+
 # ------------------------------------------------------------- (b) shardings
 
 def test_mixer_weights_actually_sharded():

@@ -600,8 +600,14 @@ class PretrainVideoMamba:
         return hidden_states, new_states
 
     def _get_core(self, key: Tuple):
-        """Cache of jitted encoder cores, keyed by the static call config."""
-        if key not in self._jit_cache:
+        """Cache of jitted encoder cores, keyed by the static call config
+        PLUS the kernel-knob env fingerprint — flipping e.g.
+        VIDEOMAMBA_BLOCK_PIPELINE mid-process re-traces instead of silently
+        reusing the stale kernel (the in-process A/B pitfall)."""
+        from videomamba_tpu.ops.dispatch import kernel_knob_fingerprint
+
+        cache_key = key + (kernel_knob_fingerprint(),)
+        if cache_key not in self._jit_cache:
             has_cls, return_states, masked, has_state, deterministic = key
 
             def fn(params, x, spatial_pos, temporal_pos, visible_positions, state, rng):
@@ -613,8 +619,8 @@ class PretrainVideoMamba:
                     deterministic=deterministic, rng=rng,
                 )
 
-            self._jit_cache[key] = jax.jit(fn)
-        return self._jit_cache[key]
+            self._jit_cache[cache_key] = jax.jit(fn)
+        return self._jit_cache[cache_key]
 
     # ---------------------------------------------------------------- public
 

@@ -63,6 +63,35 @@ def preferred_scan_method() -> str:
     return "chunked"
 
 
+# Every env knob that changes a traced kernel program. Model-level jit
+# caches (e.g. PretrainVideoMamba._get_core) must fold this fingerprint into
+# their cache key — otherwise flipping a knob after the first call with the
+# same shapes silently reuses the stale trace (the in-process A/B pitfall).
+_KERNEL_KNOB_ENVS = (
+    "VIDEOMAMBA_DISABLE_FUSED",
+    "VIDEOMAMBA_SCAN_METHOD",
+    "VIDEOMAMBA_SSD_METHOD",
+    "VIDEOMAMBA_PALLAS_INTERPRET",
+    "VIDEOMAMBA_MIXER_BLOCK_L",
+    "VIDEOMAMBA_MIXER_PIPELINE",
+    "VIDEOMAMBA_MIXER_BWD",
+    "VIDEOMAMBA_BLOCK_BLOCK_L",
+    "VIDEOMAMBA_BLOCK_PIPELINE",
+    "VIDEOMAMBA_BLOCK_STATIC",
+    "VIDEOMAMBA_BLOCK_BWD",
+    "VIDEOMAMBA_NORM_BWD",
+)
+
+
+def kernel_knob_fingerprint() -> tuple:
+    """Hashable snapshot of every kernel-selection env knob.
+
+    Include this in any long-lived jit-cache key that wraps kernel dispatch
+    so an env-var flip re-traces instead of reusing a stale program.
+    """
+    return tuple(os.getenv(k) for k in _KERNEL_KNOB_ENVS)
+
+
 _FORCE_SSD_METHOD_ENV = "VIDEOMAMBA_SSD_METHOD"
 
 

@@ -383,12 +383,34 @@ def _block_kernel_pipelined(
         step(slot, 1 - slot)
 
 
+def block_fused_pallas(*args, **kwargs):
+    """Whole-block fused forward (public entry).
+
+    Reads the env knobs (VIDEOMAMBA_BLOCK_BLOCK_L / _PIPELINE / _STATIC)
+    HERE, outside jit, and forwards them as static arguments so the jit
+    cache key includes them — an in-process A/B sweep re-traces instead of
+    silently reusing a stale kernel. (A caller that wraps this inside its
+    own jit still freezes the knobs at that outer trace.)
+    """
+    env_bl = os.environ.get("VIDEOMAMBA_BLOCK_BLOCK_L")  # sweep knob
+    if env_bl:
+        kwargs["block_l"] = int(env_bl)
+        kwargs["block_l_forced"] = True
+    elif "block_l" in kwargs and kwargs["block_l"] != DEFAULT_BLOCK_L:
+        kwargs["block_l_forced"] = True
+    kwargs["pipeline_env"] = os.environ.get(
+        "VIDEOMAMBA_BLOCK_PIPELINE", "1") != "0"
+    kwargs["static_force"] = os.environ.get("VIDEOMAMBA_BLOCK_STATIC", "")
+    return _block_fused_jit(*args, **kwargs)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("norm_rms", "eps", "residual_fp32", "block_l",
-                     "interpret", "checkpoints", "highest"),
+                     "interpret", "checkpoints", "highest",
+                     "block_l_forced", "pipeline_env", "static_force"),
 )
-def block_fused_pallas(
+def _block_fused_jit(
     hidden: Array,     # (B, L, E)
     residual: Array,   # (B, L, E) (zeros for the first block)
     norm_w: Array,     # (E,)
@@ -411,6 +433,9 @@ def block_fused_pallas(
     interpret: bool = False,
     checkpoints: bool = False,
     highest: bool = False,
+    block_l_forced: bool = False,
+    pipeline_env: bool = True,
+    static_force: str = "",
 ):
     """Whole-block fused forward.
 
@@ -426,18 +451,14 @@ def block_fused_pallas(
     n = A.shape[1]
     width = conv_w.shape[0]
 
-    env_bl = os.environ.get("VIDEOMAMBA_BLOCK_BLOCK_L")  # sweep knob
-    if env_bl:
-        block_l = int(env_bl)
     block_l = min(block_l, max(8, seqlen))
     block_l = ((block_l + 7) // 8) * 8
     if block_l <= width:
         raise ValueError("block_l must exceed the conv width.")
 
-    pipelined = not checkpoints and os.environ.get(
-        "VIDEOMAMBA_BLOCK_PIPELINE", "1"
-    ) != "0"
+    pipelined = not checkpoints and pipeline_env
     static_parity = False
+    vmem_raise = False
     est = 0
     if pipelined:
         # Working-set estimate, calibrated against the compiler's scoped
@@ -462,16 +483,31 @@ def block_fused_pallas(
         if est <= 8 * 1024 * 1024:
             static_parity = True
         elif est > 18 * 1024 * 1024:
-            pipelined = False
+            # Beyond the window the dynamic-slot form no longer provably
+            # fits the 16 MB scoped default. An EXPLICIT block_l (env knob
+            # or non-default kwarg) keeps the pipelined form with a raised
+            # limit so a block_l sweep actually measures the pipelined
+            # kernel; automatic geometry selection falls back to the plain
+            # kernel (and says so — a silent drop would mislead sweeps).
+            if block_l_forced:
+                vmem_raise = True
+            else:
+                pipelined = False
+                print(
+                    f"# block_fused: working-set est {est / 2**20:.1f} MB "
+                    f"> 18 MB at block_l={block_l}; using the unpipelined "
+                    f"kernel (pass an explicit block_l to force the "
+                    f"pipelined form)",
+                    flush=True,
+                )
         # VIDEOMAMBA_BLOCK_STATIC=1/0 overrides the form choice (A/B knob).
         # Closed door (2026-08-18, v5e): forcing static-parity at Base with
         # the scoped-VMEM limit raised to 100 MB compiles fine but measures
         # 37.0 vs 34.6 ms/chunk (2 runs each) — the doubled branch-body
         # VMEM squeezes the input double-buffering; Base keeps dynamic-slot.
-        force = os.environ.get("VIDEOMAMBA_BLOCK_STATIC")
-        if force == "1" and pipelined:
+        if static_force == "1" and pipelined:
             static_parity = True
-        elif force == "0":
+        elif static_force == "0":
             static_parity = False
     pad = (-seqlen) % block_l
     lpad = seqlen + pad
@@ -592,11 +628,13 @@ def block_fused_pallas(
         # The static-parity form's two pl.when branch bodies stack their
         # scoped VMEM, overflowing the default 16 MB limit at Base
         # (17.75 MB) though the chip has far more physical VMEM. Raise the
-        # limit only when that form is forced past its gate (the default
-        # forms compile — and measure — identically under the default).
+        # limit when that form is forced past its gate, or when an explicit
+        # block_l pushes the dynamic-slot form past the 18 MB window
+        # (vmem_raise above); the default forms compile — and measure —
+        # identically under the default limit.
         compiler_params=(
             pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-            if static_parity and est > 8 * 1024 * 1024
+            if vmem_raise or (static_parity and est > 8 * 1024 * 1024)
             else None
         ),
     )(hidden, residual, nw, nb, win, wout, conv_w, convb, wx_pack, wdt_pack,

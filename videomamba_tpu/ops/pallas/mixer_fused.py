@@ -321,10 +321,6 @@ def _mixer_kernel_pipelined(
         step(slot, 1 - slot)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("block_l", "interpret", "checkpoints", "highest"),
-)
 def mixer_fused_pallas(
     x_in: Array,       # (B, L, Di) in_proj x-half (raw conv input)
     z_in: Array,       # (B, L, Di) in_proj z-half (gate)
@@ -347,7 +343,47 @@ def mixer_fused_pallas(
     ``highest=True`` computes the projections with fp32 MXU passes (use for
     fp32 weights); otherwise inputs are cast to the weights' dtype (exact for
     bf16 serving).
+
+    The env knobs (VIDEOMAMBA_MIXER_BLOCK_L / VIDEOMAMBA_MIXER_PIPELINE) are
+    read HERE, outside jit, and forwarded as static arguments — so the jit
+    cache key includes them and an in-process A/B sweep re-traces instead of
+    silently reusing a stale kernel. (Note: a caller that wraps this inside
+    its own jit still freezes the knobs at that outer trace.)
     """
+    env_bl = os.environ.get("VIDEOMAMBA_MIXER_BLOCK_L")  # sweep knob
+    if env_bl:
+        block_l = int(env_bl)
+    pipeline_env = os.environ.get("VIDEOMAMBA_MIXER_PIPELINE", "1") != "0"
+    return _mixer_fused_jit(
+        x_in, z_in, conv_w, conv_b, wx_pack, wdt_pack, A, D, dt_bias, h0,
+        conv_state, block_l=block_l, interpret=interpret,
+        checkpoints=checkpoints, highest=highest, pipeline_env=pipeline_env,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_l", "interpret", "checkpoints", "highest",
+                     "pipeline_env"),
+)
+def _mixer_fused_jit(
+    x_in: Array,
+    z_in: Array,
+    conv_w: Array,
+    conv_b: Array,
+    wx_pack: Array,
+    wdt_pack: Array,
+    A: Array,
+    D: Array,
+    dt_bias: Array,
+    h0: Array,
+    conv_state: Array,
+    block_l: int = DEFAULT_BLOCK_L,
+    interpret: bool = False,
+    checkpoints: bool = False,
+    highest: bool = False,
+    pipeline_env: bool = True,
+):
     from videomamba_tpu.ops.dispatch import interpret_mode
 
     if interpret_mode():
@@ -356,9 +392,6 @@ def mixer_fused_pallas(
     n = A.shape[1]
     width = conv_w.shape[0]
 
-    env_bl = os.environ.get("VIDEOMAMBA_MIXER_BLOCK_L")  # sweep knob
-    if env_bl:
-        block_l = int(env_bl)
     block_l = min(block_l, max(8, seqlen))
     block_l = ((block_l + 7) // 8) * 8
     if block_l <= width:
@@ -382,8 +415,9 @@ def mixer_fused_pallas(
     # set, pick the static-parity form for small sets (free walk
     # addressing, ~2x stack), the dynamic-slot form for mid-size, and the
     # plain kernel beyond that.
-    pipelined = os.environ.get("VIDEOMAMBA_MIXER_PIPELINE", "1") != "0"
+    pipelined = pipeline_env
     static_parity = False
+    est = 0
     if pipelined:
         wb = wx_pack.dtype.itemsize
         xb = x_in.dtype.itemsize
@@ -506,16 +540,22 @@ def mixer_fused_pallas(
         scratch_shapes=scratch,
         interpret=interpret,
         # The pipelined forms' double-buffered scratch exceeds the 16 MB
-        # scoped-VMEM default at block_l > 64 with the training checkpoint
-        # stream (16.1 MB at block_l=100, Base) — without a raised limit
-        # the public block_l kwarg is a compile error, not a knob. The
-        # raise is conditional because it isn't free: interleaved A/B at
-        # the default (Base train, bl=64) measured ~80.9 vs ~79.9 ms with
-        # the limit always at 100 MB (less aggressive DMA buffering), and
-        # the swept default fits the 16 MB budget anyway.
+        # scoped-VMEM default for large working sets (16.1 MB of scoped
+        # accounting at block_l=100, Base, with the training checkpoint
+        # stream, against an est of only ~11.5 MB — the estimate runs COLD
+        # for the mixer's checkpoint stream) — without a raised limit those
+        # configs are a compile error, not a knob. The raise is therefore
+        # gated on the FORM, not on block_l vs the swept default: any
+        # dynamic-slot selection (est in the (8, 18] MB window — default
+        # block_l included, e.g. a larger d_inner than the swept presets)
+        # gets the raise; the static-parity form (est <= 8 MB, ~2x stack)
+        # provably fits the default. The raise is conditional because it
+        # isn't free: interleaved A/B at the default (Base train, bl=64,
+        # est ~7.7 MB, static-parity) measured ~80.9 vs ~79.9 ms with the
+        # limit always at 100 MB (less aggressive DMA buffering).
         compiler_params=(
             pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-            if pipelined and block_l > DEFAULT_BLOCK_L
+            if pipelined and not static_parity
             else None
         ),
     )(*operands_head, cstate_wd, conv_w, convb, wx_pack, wdt_pack,
