@@ -1,14 +1,20 @@
-"""Run setup + ZeRO-config generation — twin of /root/reference/utils/config_utils.py.
+"""Run setup + ZeRO-config generation (reference: utils/config_utils.py).
 
 The reference emits a DeepSpeed JSON; on TPU the execution equivalent of
 ZeRO-1/2/3 is optimizer/parameter sharding over the mesh's fsdp axis
-(parallel/mesh.py), so the generator here does two jobs:
+(parallel/mesh.py), so this module does two jobs:
 
-1. Emits the byte-compatible ``deepspeed_config.json`` (same keys/presets and
-   the same validation: stage in {1,2,3}, "fp16 or bf16 when using ZERO") so
-   configs written for the reference keep working and are auditable.
+1. Emits the byte-compatible ``deepspeed_config.json``. The ZeRO preset
+   dicts in :func:`setup_deepspeed_zero_config` and the block layout of
+   :func:`build_deepspeed_config` are a *schema contract* — key names,
+   ordering, values, and the "fp16 or bf16 when using ZERO" validation must
+   match the reference's emitted file so configs written for it keep
+   working and are auditable.
 2. Exposes :func:`zero_stage_to_mesh_plan` translating a ZeRO stage into the
    mesh/sharding plan this framework actually executes.
+
+The orchestration plumbing (``setup_main`` and friends) is original; only
+the emitted-JSON schema is shared with the reference by design.
 """
 
 from __future__ import annotations
@@ -16,7 +22,6 @@ from __future__ import annotations
 import json
 import logging
 import os
-from os.path import dirname, join
 
 from videomamba_tpu.utils.config import Config
 from videomamba_tpu.utils.distributed import (
@@ -28,37 +33,12 @@ from videomamba_tpu.utils.distributed import (
 logger = logging.getLogger(__name__)
 
 
-def setup_config():
-    """Combine config file and command line config (reference :13-20)."""
-    config = Config.get_config()
-    if config.debug:
-        config.wandb.enable = False
-    return config
-
-
-def setup_evaluate_config(config):
-    """Evaluation defaults: disable wandb, derive output_dir (:23-29)."""
-    assert config.evaluate
-    config.wandb.enable = False
-    if config.output_dir is None:
-        config.output_dir = join(dirname(config.pretrained_path), "eval")
-    return config
-
-
-def setup_output_dir(output_dir, excludes=("code",)):
-    """Ensure not overwriting an existing/non-empty output dir (:32-42)."""
-    if not os.path.exists(output_dir):
-        os.makedirs(output_dir, exist_ok=False)
-    else:
-        existing = os.listdir(output_dir)
-        remaining = set(existing) - set(excludes)
-        remaining = [e for e in remaining if "slurm" not in e]
-        remaining = [e for e in remaining if ".out" not in e]
-        logger.warning("remaining dirs or files: %s", remaining)
-
+# --------------------------------------------------------------------------
+# DeepSpeed-JSON schema contract (byte-parity with the reference's output)
+# --------------------------------------------------------------------------
 
 def setup_deepspeed_zero_config(stage: int) -> dict:
-    """ZeRO preset blocks by stage (byte-parity with reference :45-93)."""
+    """ZeRO preset block by stage (schema contract, reference :45-93)."""
     if stage == 1:
         return {"stage": 1, "reduce_bucket_size": 5e8}
     if stage == 2:
@@ -87,6 +67,75 @@ def setup_deepspeed_zero_config(stage: int) -> dict:
     raise ValueError(f"Wrong stage for deepspeed {stage}")
 
 
+_FP16_BLOCK = {
+    "enabled": True,
+    "auto_cast": False,
+    "loss_scale": 0,
+    "initial_scale_power": 16,
+    "loss_scale_window": 1000,
+    "hysteresis": 2,
+    "consecutive_hysteresis": False,
+    "min_loss_scale": 1,
+}
+
+
+def build_deepspeed_config(config) -> dict:
+    """Assemble the DeepSpeed config dict (pure; no filesystem access).
+
+    Block insertion order matters: the serialized JSON must match the
+    reference's emitted file byte-for-byte for the same inputs.
+    """
+    opts = config.optimizer
+    ds: dict = {
+        "train_batch_size": config.batch_size * get_world_size(),
+        "train_micro_batch_size_per_gpu": config.batch_size,
+        "steps_per_print": 100,
+        "optimizer": {
+            "type": "Adam",
+            "adam_w_mode": True,
+            "params": {
+                "lr": opts.lr,
+                "weight_decay": opts.weight_decay,
+                "bias_correction": True,
+                "betas": [opts.opt_betas[0], opts.opt_betas[1]],
+                "eps": 1e-8,
+            },
+        },
+    }
+    if config.deepspeed.stage != 0:
+        ds["zero_optimization"] = setup_deepspeed_zero_config(
+            config.deepspeed.stage
+        )
+
+    if bool(config.get("bf16", False)):
+        ds["bf16"] = {"enabled": True}
+    elif bool(config.get("fp16", False)):
+        ds["fp16"] = dict(_FP16_BLOCK)
+    elif config.deepspeed.stage != 0:
+        raise AssertionError("You must use fp16 or bf16 when using ZERO!!!")
+
+    if config.get("max_grad_norm", -1) > 0:
+        ds["gradient_clipping"] = config.max_grad_norm
+    return ds
+
+
+def setup_deepspeed_config(config):
+    """Resolve the JSON path on every process; write it from the master."""
+    config.deepspeed_config = os.path.join(
+        config.output_dir, "deepspeed_config.json"
+    )
+    logger.info("Write deepspeed config to %s", config.deepspeed_config)
+    if is_main_process():
+        os.makedirs(config.output_dir, exist_ok=True)
+        with open(config.deepspeed_config, "w") as writer:
+            writer.write(json.dumps(build_deepspeed_config(config), indent=2))
+    return config
+
+
+# --------------------------------------------------------------------------
+# TPU execution mapping
+# --------------------------------------------------------------------------
+
 def zero_stage_to_mesh_plan(stage: int, n_devices: int) -> dict:
     """What each ZeRO stage means on a TPU mesh in this framework.
 
@@ -106,66 +155,40 @@ def zero_stage_to_mesh_plan(stage: int, n_devices: int) -> dict:
     raise ValueError(f"Wrong stage for deepspeed {stage}")
 
 
-def setup_deepspeed_config(config):
-    """Emit deepspeed_config.json (key-compatible with reference :96-155)."""
-    config.deepspeed_config = os.path.join(
-        config.output_dir, "deepspeed_config.json"
-    )
-    opts = config.optimizer
-    logger.info("Write deepspeed config to %s", config.deepspeed_config)
-    if not is_main_process():
-        return config
+# --------------------------------------------------------------------------
+# Run orchestration
+# --------------------------------------------------------------------------
 
-    os.makedirs(config.output_dir, exist_ok=True)
-
-    with open(config.deepspeed_config, mode="w") as writer:
-        ds_config = {
-            "train_batch_size": config.batch_size * get_world_size(),
-            "train_micro_batch_size_per_gpu": config.batch_size,
-            "steps_per_print": 100,
-            "optimizer": {
-                "type": "Adam",
-                "adam_w_mode": True,
-                "params": {
-                    "lr": opts.lr,
-                    "weight_decay": opts.weight_decay,
-                    "bias_correction": True,
-                    "betas": [opts.opt_betas[0], opts.opt_betas[1]],
-                    "eps": 1e-8,
-                },
-            },
-        }
-        if config.deepspeed.stage != 0:
-            ds_config["zero_optimization"] = setup_deepspeed_zero_config(
-                config.deepspeed.stage
-            )
-
-        use_fp16 = bool(config.get("fp16", False))
-        use_bf16 = bool(config.get("bf16", False))
-        if use_bf16:
-            ds_config["bf16"] = {"enabled": True}
-        elif use_fp16:
-            ds_config["fp16"] = {
-                "enabled": True,
-                "auto_cast": False,
-                "loss_scale": 0,
-                "initial_scale_power": 16,
-                "loss_scale_window": 1000,
-                "hysteresis": 2,
-                "consecutive_hysteresis": False,
-                "min_loss_scale": 1,
-            }
-        else:
-            assert (
-                config.deepspeed.stage == 0
-            ), "You must use fp16 or bf16 when using ZERO!!!"
-
-        if config.get("max_grad_norm", -1) > 0:
-            ds_config.update({"gradient_clipping": config.max_grad_norm})
-
-        writer.write(json.dumps(ds_config, indent=2))
-
+def setup_config():
+    """Combine config file and command-line overrides (reference :13-20)."""
+    config = Config.get_config()
+    if config.debug:
+        config.wandb.enable = False
     return config
+
+
+def setup_evaluate_config(config):
+    """Evaluation defaults: disable wandb, derive output_dir (:23-29)."""
+    assert config.evaluate
+    config.wandb.enable = False
+    if config.output_dir is None:
+        config.output_dir = os.path.join(
+            os.path.dirname(config.pretrained_path), "eval"
+        )
+    return config
+
+
+def setup_output_dir(output_dir, excludes=("code",)):
+    """Create ``output_dir``; if it already exists, warn about leftover
+    content (excluding ``excludes`` and SLURM logs) instead of clobbering."""
+    if not os.path.exists(output_dir):
+        os.makedirs(output_dir, exist_ok=False)
+        return
+    leftovers = [
+        entry for entry in set(os.listdir(output_dir)) - set(excludes)
+        if "slurm" not in entry and ".out" not in entry
+    ]
+    logger.warning("remaining dirs or files: %s", leftovers)
 
 
 def setup_main():
@@ -173,15 +196,15 @@ def setup_main():
     from videomamba_tpu.utils.logger import setup_logger
 
     config = setup_config()
-    if hasattr(config, "evaluate") and config.evaluate:
+    if getattr(config, "evaluate", False):
         config = setup_evaluate_config(config)
     init_distributed_mode(config)
 
-    if hasattr(config, "deepspeed") and config.deepspeed.enable:
+    if getattr(getattr(config, "deepspeed", None), "enable", False):
         config = setup_deepspeed_config(config)
 
     if is_main_process():
-        setup_output_dir(config.output_dir, excludes=["code"])
+        setup_output_dir(config.output_dir, excludes=("code",))
         setup_logger(output=config.output_dir, color=True, name="videomamba_tpu")
         logger.info("config: %s", Config.pretty_text(config))
         Config.dump(config, os.path.join(config.output_dir, "config.json"))

@@ -1,4 +1,9 @@
-"""Rank-aware logging + experiment trackers — twin of /root/reference/utils/logger.py.
+# Logger setup derived from MMF:
+#   https://github.com/facebookresearch/mmf/blob/master/mmf/utils/logger.py
+# Copyright (c) Facebook, Inc. and its affiliates.
+# (The reference, utils/logger.py, carries the same lineage; this version is
+# restructured around handler factories and made dependency-optional.)
+"""Rank-aware logging + experiment trackers (reference: utils/logger.py).
 
 Master-only colored console, per-rank log files, warnings capture, wandb and
 TensorBoard helpers. Optional deps (wandb, termcolor, tensorboard) are
@@ -17,6 +22,9 @@ from typing import Optional
 
 from videomamba_tpu.utils.distributed import get_rank, is_main_process
 
+_DATEFMT = "%Y-%m-%dT%H:%M:%S"
+_PLAIN_FMT = "%(asctime)s | %(levelname)s | %(name)s : %(message)s"
+
 
 def _colored(text, color=None, attrs=None):
     try:
@@ -27,43 +35,73 @@ def _colored(text, color=None, attrs=None):
         return text
 
 
-def log_dict_to_wandb(log_dict, step, prefix=""):
-    """include a separator `/` at the end of `prefix`"""
-    if not is_main_process():
-        return
-    import wandb
-
-    log_dict = {f"{prefix}{k}": v for k, v in log_dict.items()}
-    wandb.log(log_dict, step)
+def _plain_formatter() -> logging.Formatter:
+    return logging.Formatter(_PLAIN_FMT, datefmt=_DATEFMT)
 
 
-def setup_wandb(config):
-    if not (config.wandb.enable and is_main_process()):
-        return None
-    import wandb
+class ColorfulFormatter(logging.Formatter):
+    """Prefix WARNING/ERROR records with a colored severity tag."""
 
-    run = wandb.init(
-        config=config,
-        project=config.wandb.project,
-        entity=config.wandb.entity,
-        name=os.path.basename(config.output_dir),
-        reinit=True,
-    )
-    return run
+    _TAGS = {
+        logging.WARNING: ("WARNING", ["blink"]),
+        logging.ERROR: ("ERROR", ["blink", "underline"]),
+        logging.CRITICAL: ("ERROR", ["blink", "underline"]),
+    }
+
+    def formatMessage(self, record):
+        line = super().formatMessage(record)
+        tag = self._TAGS.get(record.levelno)
+        if tag is None:
+            return line
+        return _colored(tag[0], "red", attrs=tag[1]) + " " + line
+
+
+def _console_handler(color: bool) -> logging.Handler:
+    handler = logging.StreamHandler(stream=sys.stdout)
+    handler.setLevel(logging.INFO)
+    if color:
+        handler.setFormatter(ColorfulFormatter(
+            _colored("%(asctime)s | %(name)s: ", "green") + "%(message)s",
+            datefmt=_DATEFMT,
+        ))
+    else:
+        handler.setFormatter(_plain_formatter())
+    return handler
+
+
+@functools.lru_cache(maxsize=None)
+def _cached_log_stream(filename):
+    # Cache the opened file object so repeated setup_logger calls with the
+    # same filename safely share one stream.
+    return open(filename, "a")
+
+
+def _file_handler(filename: str) -> logging.Handler:
+    os.makedirs(os.path.dirname(filename), exist_ok=True)
+    handler = logging.StreamHandler(_cached_log_stream(filename))
+    handler.setLevel(logging.INFO)
+    handler.setFormatter(_plain_formatter())
+    return handler
+
+
+def _rank_log_filename(output: str, rank: int) -> str:
+    """Resolve the per-rank log path: rank 0 owns ``train.log``, other
+    ranks append ``.rank{N}`` (reference :117-127 behavior)."""
+    if output.endswith((".txt", ".log")):
+        filename = output
+    else:
+        filename = os.path.join(output, "train.log")
+    return filename if rank == 0 else f"{filename}.rank{rank}"
 
 
 def setup_output_folder(save_dir: str = ".", folder_only: bool = False) -> str:
     """Output log path: save_dir/logs/train_<timestamp>.log (reference :51-75)."""
-    log_filename = "train_"
-    log_filename += time.strftime("%Y_%m_%dT%H_%M_%S")
-    log_filename += ".log"
-
     log_folder = os.path.join(save_dir, "logs")
-    if not os.path.exists(log_folder):
-        os.makedirs(log_folder, exist_ok=True)
+    os.makedirs(log_folder, exist_ok=True)
     if folder_only:
         return log_folder
-    return os.path.join(log_folder, log_filename)
+    stamp = time.strftime("%Y_%m_%dT%H_%M_%S")
+    return os.path.join(log_folder, f"train_{stamp}.log")
 
 
 def setup_logger(
@@ -83,101 +121,58 @@ def setup_logger(
     """
     if disable:
         return None
+
     logger = logging.getLogger(name)
     logger.propagate = False
-
+    logger.setLevel(logging.INFO)
     logging.captureWarnings(True)
     warnings_logger = logging.getLogger("py.warnings")
 
-    plain_formatter = logging.Formatter(
-        "%(asctime)s | %(levelname)s | %(name)s : %(message)s",
-        datefmt="%Y-%m-%dT%H:%M:%S",
-    )
-
-    distributed_rank = get_rank()
+    rank = get_rank()
     handlers = []
-    logging_level = logging.INFO
+    if rank == 0:
+        handlers.append(_console_handler(color))
 
-    if distributed_rank == 0:
-        logger.setLevel(logging_level)
-        ch = logging.StreamHandler(stream=sys.stdout)
-        ch.setLevel(logging_level)
-        if color:
-            formatter = ColorfulFormatter(
-                _colored("%(asctime)s | %(name)s: ", "green") + "%(message)s",
-                datefmt="%Y-%m-%dT%H:%M:%S",
-            )
-        else:
-            formatter = plain_formatter
-        ch.setFormatter(formatter)
-        logger.addHandler(ch)
-        warnings_logger.addHandler(ch)
-        handlers.append(ch)
+    filename = _rank_log_filename(output or setup_output_folder(), rank)
+    handlers.append(_file_handler(filename))
 
-    # file logging: all workers
-    if output is None:
-        output = setup_output_folder()
-
-    if output is not None:
-        if output.endswith(".txt") or output.endswith(".log"):
-            filename = output
-        else:
-            filename = os.path.join(output, "train.log")
-        if distributed_rank > 0:
-            filename = filename + f".rank{distributed_rank}"
-        os.makedirs(os.path.dirname(filename), exist_ok=True)
-
-        fh = logging.StreamHandler(_cached_log_stream(filename))
-        fh.setLevel(logging_level)
-        fh.setFormatter(plain_formatter)
-        logger.addHandler(fh)
-        warnings_logger.addHandler(fh)
-        handlers.append(fh)
-        logger.info(f"Logging to: {filename}")
+    for handler in handlers:
+        logger.addHandler(handler)
+        warnings_logger.addHandler(handler)
+    logger.info(f"Logging to: {filename}")
 
     if clear_handlers:
         for handler in logging.root.handlers[:]:
             logging.root.removeHandler(handler)
-    logging.basicConfig(level=logging_level, handlers=handlers)
-
+    logging.basicConfig(level=logging.INFO, handlers=handlers)
     return logger
 
 
 def setup_very_basic_config(color=True):
-    plain_formatter = logging.Formatter(
-        "%(asctime)s | %(levelname)s | %(name)s : %(message)s",
-        datefmt="%Y-%m-%dT%H:%M:%S",
+    logging.basicConfig(level=logging.INFO, handlers=[_console_handler(color)])
+
+
+def log_dict_to_wandb(log_dict, step, prefix=""):
+    """include a separator `/` at the end of `prefix`"""
+    if not is_main_process():
+        return
+    import wandb
+
+    wandb.log({f"{prefix}{k}": v for k, v in log_dict.items()}, step)
+
+
+def setup_wandb(config):
+    if not (config.wandb.enable and is_main_process()):
+        return None
+    import wandb
+
+    return wandb.init(
+        config=config,
+        project=config.wandb.project,
+        entity=config.wandb.entity,
+        name=os.path.basename(config.output_dir),
+        reinit=True,
     )
-    ch = logging.StreamHandler(stream=sys.stdout)
-    ch.setLevel(logging.INFO)
-    if color:
-        formatter = ColorfulFormatter(
-            _colored("%(asctime)s | %(name)s: ", "green") + "%(message)s",
-            datefmt="%Y-%m-%dT%H:%M:%S",
-        )
-    else:
-        formatter = plain_formatter
-    ch.setFormatter(formatter)
-    logging.basicConfig(level=logging.INFO, handlers=[ch])
-
-
-@functools.lru_cache(maxsize=None)
-def _cached_log_stream(filename):
-    # Cache the opened file object so repeated setup_logger calls with the
-    # same filename safely share one stream.
-    return open(filename, "a")
-
-
-class ColorfulFormatter(logging.Formatter):
-    def formatMessage(self, record):
-        log = super().formatMessage(record)
-        if record.levelno == logging.WARNING:
-            prefix = _colored("WARNING", "red", attrs=["blink"])
-        elif record.levelno in (logging.ERROR, logging.CRITICAL):
-            prefix = _colored("ERROR", "red", attrs=["blink", "underline"])
-        else:
-            return log
-        return prefix + " " + log
 
 
 class TensorboardLogger:
@@ -193,13 +188,11 @@ class TensorboardLogger:
         self.summary_writer = None
         self._is_master = is_main_process()
         self.log_folder = log_folder
-
         if self._is_master:
-            current_time = time.strftime("%Y-%m-%dT%H:%M:%S")
-            tensorboard_folder = os.path.join(
-                self.log_folder, f"tensorboard_{current_time}"
+            stamp = time.strftime(_DATEFMT)
+            self.summary_writer = SummaryWriter(
+                os.path.join(log_folder, f"tensorboard_{stamp}")
             )
-            self.summary_writer = SummaryWriter(tensorboard_folder)
 
     def __del__(self):
         if getattr(self, "summary_writer", None) is not None:
@@ -209,9 +202,8 @@ class TensorboardLogger:
         return self.summary_writer is not None and self._is_master
 
     def add_scalar(self, key, value, iteration):
-        if not self._should_log_tensorboard():
-            return
-        self.summary_writer.add_scalar(key, value, iteration)
+        if self._should_log_tensorboard():
+            self.summary_writer.add_scalar(key, value, iteration)
 
     def add_scalars(self, scalar_dict, iteration):
         if not self._should_log_tensorboard():
