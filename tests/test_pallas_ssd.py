@@ -194,3 +194,82 @@ def test_bf16_kernel_tracks_fp32():
         C.astype(jnp.bfloat16), None, chunk_size=16, interpret=True)
     rel = float(jnp.abs(y16 - y32).max() / (jnp.abs(y32).max() + 1e-6))
     assert rel < 0.06, rel
+
+
+@pytest.mark.parametrize("use_norm,use_state", [
+    (True, True), (True, False), (False, True), (False, False),
+])
+def test_mega_fused_backward_matches_composite(monkeypatch, use_norm,
+                                               use_state):
+    """The one-kernel mixer backward (_ssd_mixer_bwd_padded: in-kernel conv
+    recompute + epilogue/D-skip grads + reverse-chunk scan bwd + conv bwd,
+    emitting dzx directly) must match the composite route (XLA conv
+    recompute + epilogue vjp around the bare scan-bwd kernel) <=2e-5 on
+    every cotangent — unaligned L (pad path), multi-group, multi-head."""
+    monkeypatch.setenv("VIDEOMAMBA_PALLAS_INTERPRET", "1")
+    from videomamba_tpu.ops.pallas.ssd_scan import ssd_mixer_pallas
+
+    H, P, G, N, Q = 4, 8, 2, 8, 16
+    DI = H * P
+    CD = DI + 2 * G * N
+    DPJ = 2 * DI + 2 * G * N + H
+    B, L = 2, 35  # not a multiple of Q
+    k = jax.random.PRNGKey
+    zx = jax.random.normal(k(0), (B, L, DPJ), jnp.float32)
+    A = -jnp.exp(jax.random.normal(k(1), (H,), jnp.float32) * 0.2)
+    cw = jax.random.normal(k(2), (4, CD), jnp.float32) * 0.3
+    cb = jax.random.normal(k(3), (CD,), jnp.float32) * 0.1
+    D = jax.random.normal(k(4), (H,), jnp.float32) * 0.5
+    dtb = jax.random.normal(k(5), (H,), jnp.float32) * 0.1
+    nw = 1.0 + jax.random.normal(k(6), (DI,), jnp.float32) * 0.1
+    h0 = jax.random.normal(k(7), (B, H, P, N), jnp.float32) * 0.2
+    cst = jax.random.normal(k(8), (B, CD, 4), jnp.float32) * 0.2
+
+    def loss(zx, cw, cb, D, dtb, nw, h0, cst, A):
+        y, hl = ssd_mixer_pallas(
+            zx, A, cw, cb, D, dtb,
+            initial_state=h0 if use_state else None,
+            conv_state=cst if use_state else None,
+            norm_weight=nw if use_norm else None,
+            chunk_size=Q, nheads=H, hdim=P, ngroups=G, d_state=N)
+        return jnp.sum(y.astype(jnp.float32) ** 2) * 0.5 + jnp.sum(hl ** 2) * 0.25
+
+    grads = {}
+    for mode in ("fused", "composite"):
+        monkeypatch.setenv("VIDEOMAMBA_SSD_BWD", mode)
+        grads[mode] = jax.grad(loss, argnums=tuple(range(9)))(
+            zx, cw, cb, D, dtb, nw, h0, cst, A)
+    for i, (gf, gc) in enumerate(zip(grads["fused"], grads["composite"])):
+        scale = float(jnp.max(jnp.abs(gc))) + 1e-30
+        err = float(jnp.max(jnp.abs(gf - gc))) / scale
+        assert err <= 2e-5, f"arg {i}: rel err {err:.3e}"
+
+
+def test_mega_fused_backward_bf16_dtypes(monkeypatch):
+    """bf16 primals through the mega-fused backward: cotangent dtypes match
+    primals (custom_vjp contract) and are finite."""
+    monkeypatch.setenv("VIDEOMAMBA_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("VIDEOMAMBA_SSD_BWD", "fused")
+    from videomamba_tpu.ops.pallas.ssd_scan import ssd_mixer_pallas
+
+    H, P, G, N, Q = 4, 8, 1, 8, 16
+    DI = H * P
+    CD = DI + 2 * G * N
+    DPJ = 2 * DI + 2 * G * N + H
+    zx = jax.random.normal(jax.random.PRNGKey(0), (2, 32, DPJ), jnp.bfloat16)
+    A = -jnp.exp(jax.random.normal(jax.random.PRNGKey(1), (H,), jnp.float32) * 0.2)
+    cw = jax.random.normal(jax.random.PRNGKey(2), (4, CD), jnp.bfloat16) * 0.3
+    cb = jnp.zeros((CD,), jnp.float32)
+    D = jnp.ones((H,), jnp.float32)
+    dtb = jnp.zeros((H,), jnp.float32)
+
+    def loss(zx_, cw_):
+        y, hl = ssd_mixer_pallas(
+            zx_, A, cw_, cb, D, dtb, chunk_size=Q,
+            nheads=H, hdim=P, ngroups=G, d_state=N)
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    gz, gw = jax.grad(loss, argnums=(0, 1))(zx, cw)
+    assert gz.dtype == jnp.bfloat16 and gw.dtype == jnp.bfloat16
+    assert bool(jnp.isfinite(gz.astype(jnp.float32)).all())
+    assert bool(jnp.isfinite(gw.astype(jnp.float32)).all())

@@ -80,7 +80,18 @@ _KERNEL_KNOB_ENVS = (
     "VIDEOMAMBA_BLOCK_STATIC",
     "VIDEOMAMBA_BLOCK_BWD",
     "VIDEOMAMBA_NORM_BWD",
+    "VIDEOMAMBA_SSD_BWD",
 )
+
+
+def ssd_bwd_fused_enabled() -> bool:
+    """Mega-fused SSD mixer backward (default) vs the composite backward
+    (XLA conv recompute + epilogue vjp around the bare scan-bwd kernel).
+
+    ``VIDEOMAMBA_SSD_BWD=composite`` opts out (A/B + fallback). Read at
+    trace time — part of :func:`kernel_knob_fingerprint` for cache safety.
+    """
+    return os.getenv("VIDEOMAMBA_SSD_BWD", "fused").strip().lower() != "composite"
 
 
 def kernel_knob_fingerprint() -> tuple:

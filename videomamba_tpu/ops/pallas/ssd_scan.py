@@ -701,6 +701,430 @@ def _ssd_bwd_padded(
     return outs
 
 
+def _ssd_mixer_bwd_kernel(
+    # inputs (chunk-indexed refs use REVERSED index maps)
+    zx_ref,      # (1, q, DPJ) in_proj output (current chunk)
+    zxprev_ref,  # (1, q, DPJ) previous chunk (conv left context)
+    cstate_ref,  # (1, W, CD) streaming conv window
+    convw_ref,   # (W, CD)
+    convb_ref,   # (1, CD) f32
+    yd_ref,      # (1, q, DI) f32 pre-gate y checkpoint (scan + D-skip)
+    dout_ref,    # (1, q, DI) cotangent of the gated/normed output
+    scol_ref,    # (1, q, H) f32
+    srow_ref,    # (1, H, q) f32
+    dtcol_ref,   # (1, q, H) f32
+    dtrow_ref,   # (1, H, q) f32
+    slast_ref,   # (B, nc, H) f32 SMEM (absolute chunk index)
+    hins_ref,    # (1, 1, DI, N) f32 state ENTERING this chunk
+    dhlast_ref,  # (1, DI, N) f32
+    d_ref,       # (H,) f32 SMEM
+    *maybe_nw_and_outs,
+    nheads: int,
+    hdim: int,
+    ngroups: int,
+    d_state: int,
+    nc: int,
+    highest: bool,
+    has_norm: bool,
+    norm_eps: float,
+    conv_width: int,
+    d_inner: int,
+    conv_dim: int,
+):
+    """Whole-mixer-core backward in ONE kernel.
+
+    Replaces the composite backward's XLA glue (conv recompute + vjp,
+    epilogue vjp, D-skip split, dxbc/dzx concatenates — measured 1.8
+    ms/layer at Base train shapes, more than the two Pallas kernels
+    combined) with in-VMEM recompute: conv+SiLU from the zx block, gate/
+    RMSNorm backward at the stored pre-gate y, the reverse-chunk scan
+    backward, and the conv backward, emitting ``dzx`` directly.
+
+    Mirrors mixer_bwd.py's structure for Mamba-1 (the reference's fused
+    ``mamba_inner_fn`` backward role, mamba_simple.py:343-435).
+    """
+    it = iter(maybe_nw_and_outs)
+    nw_ref = next(it) if has_norm else None
+    # outputs
+    dzx_ref = next(it)      # (1, q, DPJ)
+    dscol_ref = next(it)    # (1, q, H) f32
+    dsrow_ref = next(it)    # (1, H, q) f32
+    ddtpcol_ref = next(it)  # (1, q, H) f32
+    ddtprow_ref = next(it)  # (1, H, q) f32
+    dh0_ref = next(it)      # (1, DI, N) f32
+    dcw_ref = next(it)      # (1, W, CD) f32 per-batch partial
+    dcb_ref = next(it)      # (1, 1, CD) f32 per-batch partial
+    ddsk_ref = next(it)     # (1, 1, DI) f32 per-batch partial (D grads)
+    dcst_ref = next(it)     # (1, W, CD) f32 conv-state gradient
+    dnw_ref = next(it) if has_norm else None  # (1, 1, DI) f32
+    # scratch
+    g_scr = next(it)        # (DI, N) f32 dL/d(state leaving current chunk)
+    carry_scr = next(it)    # (8, CD) f32 next chunk's head rows of dcpre
+    ddsk_scr = next(it)     # (1, DI) f32 running sum(dyd * x)
+    dcb_scr = next(it)      # (1, CD) f32
+    dcw_scr = next(it)      # (8, CD) f32 (W rows used)
+    dnw_scr = next(it) if has_norm else None  # (1, DI) f32
+
+    c_idx = pl.program_id(1)
+    chunk = nc - 1 - c_idx  # absolute chunk index (reverse iteration)
+    n = d_state
+    heads_per_group = nheads // ngroups
+    prec = lax.Precision.HIGHEST if highest else None
+    width = conv_width
+
+    @pl.when(c_idx == 0)
+    def _():
+        g_scr[:] = dhlast_ref[0]
+        carry_scr[:] = jnp.zeros_like(carry_scr)
+        ddsk_scr[:] = jnp.zeros_like(ddsk_scr)
+        dcb_scr[:] = jnp.zeros_like(dcb_scr)
+        dcw_scr[:] = jnp.zeros_like(dcw_scr)
+        if has_norm:
+            dnw_scr[:] = jnp.zeros_like(dnw_scr)
+
+    zx = zx_ref[0]                          # (q, DPJ)
+    q = zx.shape[0]
+    cdt = zx.dtype
+
+    # ---- 1. conv + SiLU recompute (identical math to the forward kernel;
+    # left context from the PREVIOUS chunk's zx block, reverse-safe).
+    raw = zx[:, d_inner:d_inner + conv_dim].astype(jnp.float32)
+    prev_raw = zxprev_ref[0][
+        q - (width - 1):, d_inner:d_inner + conv_dim
+    ].astype(jnp.float32)                   # (W-1, CD)
+    state_tail = cstate_ref[0][1:, :].astype(jnp.float32)
+    left = jnp.where(chunk == 0, state_tail, prev_raw)
+    ctx = jnp.concatenate([left, raw], axis=0)  # (q+W-1, CD)
+    cw_taps = convw_ref[:].astype(jnp.float32)
+    cy_pre = cw_taps[width - 1][None, :] * raw
+    for k in range(width - 1):
+        cy_pre = cy_pre + cw_taps[k][None, :] * ctx[k:k + q]
+    cy_pre = cy_pre + convb_ref[:]
+    sig_c = jax.nn.sigmoid(cy_pre)
+    xbc = cy_pre * sig_c                    # (q, CD) f32
+    gn = ngroups * n
+    x = xbc[:, :d_inner].astype(cdt)        # (q, DI)
+    bmat = xbc[:, d_inner:d_inner + gn].astype(cdt)
+    cmat = xbc[:, d_inner + gn:].astype(cdt)
+
+    # ---- 2. epilogue backward: silu(z) gate (+ gated RMSNorm) at the
+    # stored pre-gate y.
+    z_val = zx[:, :d_inner].astype(jnp.float32)
+    yd = yd_ref[0]                          # (q, DI) f32
+    sig_z = jax.nn.sigmoid(z_val)
+    silu_z = z_val * sig_z
+    gate = yd * silu_z
+    dout = dout_ref[0].astype(jnp.float32)
+    if has_norm:
+        var = jnp.mean(jnp.square(gate), axis=1, keepdims=True)
+        r = lax.rsqrt(var + norm_eps)
+        xn = gate * r                       # normalized pre-weight
+        nw_row = nw_ref[:]                  # (1, DI) f32
+        dnw_scr[:] += jnp.sum(dout * xn, axis=0, keepdims=True)
+        dxn = dout * nw_row
+        dot_row = jnp.sum(dxn * gate, axis=1, keepdims=True)
+        dgate = dxn * r - gate * (r * r * r / d_inner) * dot_row
+    else:
+        dgate = dout
+    dyd = dgate * silu_z                    # cotangent of pre-gate y (f32)
+    dz = dgate * yd * (sig_z * (1.0 + z_val * (1.0 - sig_z)))
+
+    # ---- 3. D-skip: yd = y_scan + D_h * x_h.
+    ddsk_scr[:] += jnp.sum(dyd * xbc[:, :d_inner], axis=0, keepdims=True)
+
+    scol = scol_ref[0]
+    srow = srow_ref[0]
+    dtcol = dtcol_ref[0]
+    dtrow = dtrow_ref[0]
+    hin = hins_ref[0, 0]                    # (DI, N) f32
+
+    ids_r = lax.broadcasted_iota(jnp.int32, (q, q), 0)
+    ids_c = lax.broadcasted_iota(jnp.int32, (q, q), 1)
+    causal = ids_r >= ids_c
+
+    dscol_ref[0] = jnp.zeros((q, nheads), jnp.float32)
+    dsrow_ref[0] = jnp.zeros((nheads, q), jnp.float32)
+    ddtpcol_ref[0] = jnp.zeros((q, nheads), jnp.float32)
+    ddtprow_ref[0] = jnp.zeros((nheads, q), jnp.float32)
+
+    cbs = []
+    for g in range(ngroups):
+        bg = bmat[:, g * n:(g + 1) * n]
+        cg = cmat[:, g * n:(g + 1) * n]
+        cbs.append(
+            lax.dot_general(
+                cg, bg, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+        )
+
+    # ---- 4. reverse-chunk scan backward (math identical to
+    # _ssd_bwd_kernel, dy := dyd, dx/db/dc kept in VMEM for the conv bwd).
+    db_groups = [jnp.zeros((q, n), jnp.float32) for _ in range(ngroups)]
+    dc_groups = [jnp.zeros((q, n), jnp.float32) for _ in range(ngroups)]
+    dx_heads = []
+    for h in range(nheads):
+        g = h // heads_per_group
+        gsl = slice(g * n, (g + 1) * n)
+        hsl = slice(h * hdim, (h + 1) * hdim)
+        sc = scol[:, h:h + 1]
+        sr = srow[h:h + 1, :]
+        slast = slast_ref[pl.program_id(0), chunk, h]
+        dtr = dtrow[h:h + 1, :]
+
+        e_seg = jnp.where(causal, sc - sr, -jnp.inf)
+        E = jnp.exp(e_seg)
+        dy_h = dyd[:, hsl]                  # (q, P) f32
+        dy_c = dy_h.astype(cdt)
+        xh = x[:, hsl]
+        hin_h = hin[hsl, :]
+        g_h = g_scr[hsl, :]
+
+        M = (cbs[g] * E * dtr).astype(cdt)
+        dx_h = lax.dot_general(
+            M, dy_c, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        dM = lax.dot_general(
+            dy_c, xh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        dDm = dM * cbs[g]
+        T = dDm * E
+        ddtprow_ref[0, h:h + 1, :] += jnp.sum(T, axis=0, keepdims=True)
+        U = T * dtr
+        dscol_ref[0, :, h:h + 1] += jnp.sum(U, axis=1, keepdims=True)
+        dsrow_ref[0, h:h + 1, :] += -jnp.sum(U, axis=0, keepdims=True)
+        dcb_m = (dM * E * dtr).astype(cdt)
+        dc_groups[g] = dc_groups[g] + lax.dot_general(
+            dcb_m, bmat[:, gsl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        db_groups[g] = db_groups[g] + lax.dot_general(
+            dcb_m, cmat[:, gsl], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+        exp_sc = jnp.exp(sc)
+        cw_f = cmat[:, gsl].astype(jnp.float32) * exp_sc
+        dCw = lax.dot_general(
+            dy_c, hin_h.astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        dc_groups[g] = dc_groups[g] + dCw * exp_sc
+        dscol_ref[0, :, h:h + 1] += jnp.sum(dCw * cw_f, axis=1,
+                                            keepdims=True)
+        dhin = lax.dot_general(
+            dy_c, cw_f.astype(cdt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+        w = dtcol[:, h:h + 1] * jnp.exp(slast - sc)
+        R = lax.dot_general(
+            bmat[:, gsl], g_h.astype(cdt), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        dx_h = dx_h + w * R
+        dw = jnp.sum(xh.astype(jnp.float32) * R, axis=1, keepdims=True)
+        ddtpcol_ref[0, :, h:h + 1] += dw * jnp.exp(slast - sc)
+        dscol_ref[0, :, h:h + 1] += -(dw * w)
+        xw = (xh.astype(jnp.float32) * w).astype(cdt)
+        db_groups[g] = db_groups[g] + lax.dot_general(
+            xw, g_h.astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        dslast = jnp.sum(dw * w) + jnp.exp(slast) * jnp.sum(g_h * hin_h)
+        dsrow_ref[0, h:h + 1, q - 1:q] += dslast
+
+        # D-skip x-grad folded here (scalar-per-head splat from SMEM).
+        dx_heads.append(dx_h + d_ref[h] * dy_h)
+        g_scr[hsl, :] = dhin + jnp.exp(slast) * g_h
+
+    dh0_ref[0] = g_scr[:]
+
+    # ---- 5. conv backward through SiLU to the raw [x B C] slab.
+    dxbc = jnp.concatenate(
+        dx_heads + db_groups + dc_groups, axis=1
+    )                                       # (q, CD) f32
+    dcpre = dxbc * (sig_c * (1.0 + cy_pre * (1.0 - sig_c)))
+    dcb_scr[:] += jnp.sum(dcpre, axis=0, keepdims=True)
+    for k in range(width):
+        dcw_scr[k, :] += jnp.sum(dcpre * ctx[k:k + q], axis=0)
+
+    # draw[t] = sum_m w[W-1-m] * dcpre_ext[t+m]; rows past the chunk come
+    # from the NEXT chunk's head rows (processed last grid step — carried).
+    dcpre_ext = jnp.concatenate([dcpre, carry_scr[:width - 1]], axis=0)
+    draw = cw_taps[width - 1][None, :] * dcpre
+    for m in range(1, width):
+        draw = draw + cw_taps[width - 1 - m][None, :] * dcpre_ext[m:m + q]
+    carry_scr[:width - 1] = dcpre[:width - 1]
+
+    # Conv-state gradient: only chunk 0 reads the streaming window's tail.
+    @pl.when(chunk == 0)
+    def _():
+        dcst_ref[0] = jnp.zeros_like(dcst_ref[0])
+        for rr in range(width - 1):  # ctx rows 0..W-2 = cstate rows 1..W-1
+            acc = jnp.zeros((conv_dim,), jnp.float32)
+            for k in range(width):
+                t = rr - k
+                if 0 <= t < width - 1:  # only head rows can reach the tail
+                    acc = acc + cw_taps[k] * dcpre[t]
+            dcst_ref[0, rr + 1] = acc
+
+    # ---- 6. assemble dzx = [dz | draw | 0 (dt lanes, grad via ddtp)].
+    dzx_ref[0] = jnp.concatenate(
+        [dz.astype(cdt), draw.astype(cdt),
+         jnp.zeros((q, zx.shape[1] - d_inner - conv_dim), cdt)], axis=1,
+    )
+
+    dcw_ref[0] = dcw_scr[:width]
+    dcb_ref[0, 0] = dcb_scr[0]
+    ddsk_ref[0, 0] = ddsk_scr[0]
+    if has_norm:
+        dnw_ref[0, 0] = dnw_scr[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nheads", "hdim", "ngroups", "d_state", "chunk_size",
+                     "interpret", "norm_eps", "d_inner", "conv_dim"),
+)
+def _ssd_mixer_bwd_padded(
+    zx: Array,       # (B, Lp, DPJ), Lp % q == 0
+    dt_p: Array,     # (B, Lp, H) f32 post-softplus (0 on padded rows)
+    A: Array,        # (H,) f32 negative
+    cstate: Array,   # (B, W, CD) raw-input window (time-major)
+    convw: Array,    # (W, CD)
+    convb: Array,    # (1, CD) f32
+    yd: Array,       # (B, Lp, DI) f32 pre-gate y checkpoint
+    hins: Array,     # (B, nc, DI, N) f32
+    dout: Array,     # (B, Lp, DI) cotangent of the gated output
+    dhlast: Array,   # (B, DI, N) f32
+    D: Array,        # (H,) f32
+    norm_weight,     # (1, DI) f32 or None
+    *,
+    nheads: int,
+    hdim: int,
+    ngroups: int,
+    d_state: int,
+    d_inner: int,
+    conv_dim: int,
+    chunk_size: int,
+    norm_eps: float = 1e-5,
+    interpret: bool = False,
+):
+    bsz, lp, dpj = zx.shape
+    q = chunk_size
+    nc = lp // q
+    width = convw.shape[0]
+    has_norm = norm_weight is not None
+
+    dtA = dt_p * A[None, None, :]
+    s = jnp.cumsum(dtA.reshape(bsz, nc, q, nheads), axis=2)
+    s = s.reshape(bsz, lp, nheads)
+    srow = s.swapaxes(1, 2)
+    dtrow = dt_p.swapaxes(1, 2)
+    s_last = s.reshape(bsz, nc, q, nheads)[:, :, -1, :]
+
+    rblk = lambda b, c: (b, nc - 1 - c, 0)
+    rprev = lambda b, c: (b, jnp.maximum(nc - 1 - c - 1, 0), 0)
+    rrow = lambda b, c: (b, 0, nc - 1 - c)
+    rchunk = lambda b, c: (b, nc - 1 - c, 0, 0)
+    fixed = lambda b, c: (b, 0, 0)
+    fixed2 = lambda b, c: (0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, q, dpj), rblk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, q, dpj), rprev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, width, conv_dim), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((width, conv_dim), fixed2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, conv_dim), fixed2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, q, d_inner), rblk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, q, d_inner), rblk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, q, nheads), rblk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nheads, q), rrow, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, q, nheads), rblk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nheads, q), rrow, memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # s_last
+        pl.BlockSpec((1, 1, d_inner, d_state), rchunk,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d_inner, d_state), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # D (H,)
+    ]
+    operands = [zx, zx, cstate, convw, convb, yd, dout, s, srow, dt_p,
+                dtrow, s_last, hins, dhlast, D.astype(jnp.float32)]
+    if has_norm:
+        in_specs.append(
+            pl.BlockSpec((1, d_inner), fixed2, memory_space=pltpu.VMEM)
+        )
+        operands.append(norm_weight)
+
+    out_specs = [
+        pl.BlockSpec((1, q, dpj), rblk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, q, nheads), rblk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nheads, q), rrow, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, q, nheads), rblk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nheads, q), rrow, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d_inner, d_state), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, width, conv_dim), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, conv_dim), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, d_inner), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, width, conv_dim), fixed, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bsz, lp, dpj), zx.dtype),            # dzx
+        jax.ShapeDtypeStruct((bsz, lp, nheads), jnp.float32),      # dscol
+        jax.ShapeDtypeStruct((bsz, nheads, lp), jnp.float32),      # dsrow
+        jax.ShapeDtypeStruct((bsz, lp, nheads), jnp.float32),      # ddtpcol
+        jax.ShapeDtypeStruct((bsz, nheads, lp), jnp.float32),      # ddtprow
+        jax.ShapeDtypeStruct((bsz, d_inner, d_state), jnp.float32),  # dh0
+        jax.ShapeDtypeStruct((bsz, width, conv_dim), jnp.float32),  # dcw
+        jax.ShapeDtypeStruct((bsz, 1, conv_dim), jnp.float32),     # dcb
+        jax.ShapeDtypeStruct((bsz, 1, d_inner), jnp.float32),      # dD cols
+        jax.ShapeDtypeStruct((bsz, width, conv_dim), jnp.float32),  # dcst
+    ]
+    if has_norm:
+        out_specs.append(
+            pl.BlockSpec((1, 1, d_inner), fixed, memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((bsz, 1, d_inner), jnp.float32)   # dnw
+        )
+
+    scratch = [
+        pltpu.VMEM((d_inner, d_state), jnp.float32),   # g (state cotangent)
+        pltpu.VMEM((8, conv_dim), jnp.float32),        # dcpre head carry
+        pltpu.VMEM((1, d_inner), jnp.float32),         # dD accumulator
+        pltpu.VMEM((1, conv_dim), jnp.float32),        # dcb accumulator
+        pltpu.VMEM((8, conv_dim), jnp.float32),        # dcw accumulator
+    ]
+    if has_norm:
+        scratch.append(pltpu.VMEM((1, d_inner), jnp.float32))  # dnw acc
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _ssd_mixer_bwd_kernel, nheads=nheads, hdim=hdim,
+            ngroups=ngroups, d_state=d_state, nc=nc,
+            highest=(zx.dtype == jnp.float32), has_norm=has_norm,
+            norm_eps=norm_eps, conv_width=width, d_inner=d_inner,
+            conv_dim=conv_dim,
+        ),
+        grid=(bsz, nc),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            # Double-buffered (q, DPJ) blocks x3 + checkpoints exceed the
+            # 16MB scoped-VMEM default at Base shapes; v5e has more.
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*operands)
+    return outs
+
+
 def ssd_core_pallas(
     x4: Array,
     dt_p: Array,
@@ -920,12 +1344,92 @@ def _mixer_vjp_fwd(zx, dt_p, A, cstate, convw, convb, h0, D, nw, cfg,
     return out, (zx, dtf, A, cstate, convw, convb, h0, D, nw, hins, yd)
 
 
+def _decay_chain_grads(ds_col, ds_row, ddtp_col, ddtp_row, A, dtf, q):
+    """Small-tensor decay chains in XLA: s = within-chunk cumsum(dt*A), so
+    d(dtA) = reversed within-chunk cumsum of ds; dA and the dt_p terms
+    follow by the product rule."""
+    bsz, lp, nheads = ds_col.shape
+    nc = lp // q
+    ds = ds_col + ds_row.swapaxes(1, 2)
+    ds_c = ds.reshape(bsz, nc, q, nheads)
+    ddtA = jnp.flip(jnp.cumsum(jnp.flip(ds_c, 2), axis=2), 2)
+    ddtA = ddtA.reshape(bsz, lp, nheads)
+    ddtp = ddtp_col + ddtp_row.swapaxes(1, 2) + ddtA * A[None, None, :]
+    dA = jnp.sum(ddtA * dtf, axis=(0, 1))
+    return ddtp, dA
+
+
+def _mixer_vjp_bwd_fused(cfg, interpret, res, cts):
+    """One-kernel backward: conv recompute, epilogue/D-skip gradients, the
+    reverse-chunk scan backward and the conv backward all happen inside
+    ``_ssd_mixer_bwd_padded`` — the composite path's XLA glue (measured
+    1.8 ms/layer at Base train shapes, more than both Pallas kernels
+    combined) collapses to the tiny decay chains + per-batch reductions."""
+    zx, dtf, A, cstate, convw, convb, h0, D, nw, hins, yd = res
+    (nheads, hdim, ngroups, n, d_inner, conv_dim, chunk_size,
+     norm_eps) = cfg
+    dout, dhlast = cts
+    bsz, seqlen, _ = zx.shape
+    q = int(chunk_size)
+    lp = dtf.shape[1]
+    has_cst = cstate is not None
+    has_norm = nw is not None
+
+    pad = lp - seqlen
+    zxf = jnp.pad(zx, ((0, 0), (0, pad), (0, 0))) if pad else zx
+    doutf = jnp.pad(dout, ((0, 0), (0, pad), (0, 0))) if pad else dout
+    cst = (
+        cstate.astype(zx.dtype).swapaxes(1, 2)
+        if has_cst
+        else jnp.zeros((bsz, convw.shape[0], conv_dim), zx.dtype)
+    )
+    dhl = dhlast.astype(jnp.float32).reshape(bsz, nheads * hdim, n)
+    outs = _ssd_mixer_bwd_padded(
+        zxf, dtf, A.astype(jnp.float32), cst, convw,
+        convb.astype(jnp.float32).reshape(1, conv_dim), yd, hins, doutf,
+        dhl, D.astype(jnp.float32),
+        (nw.astype(jnp.float32).reshape(1, d_inner) if has_norm else None),
+        nheads=nheads, hdim=hdim, ngroups=ngroups, d_state=n,
+        d_inner=d_inner, conv_dim=conv_dim, chunk_size=q,
+        norm_eps=float(norm_eps), interpret=interpret,
+    )
+    (dzxf, ds_col, ds_row, ddtp_col, ddtp_row, dh0f, dcw_b, dcb_b,
+     ddsk_b, dcst_b) = outs[:10]
+    dnw = (
+        jnp.sum(outs[10], axis=(0, 1)).astype(nw.dtype) if has_norm
+        else None
+    )
+
+    ddtp, dA = _decay_chain_grads(ds_col, ds_row, ddtp_col, ddtp_row,
+                                  A, dtf, q)
+    dzx = dzxf[:, :seqlen]
+    ddtp = ddtp[:, :seqlen].astype(dtf.dtype)
+    dcw = jnp.sum(dcw_b, axis=0).astype(convw.dtype)
+    dcb = jnp.sum(dcb_b, axis=(0, 1)).astype(convb.dtype)
+    dD = jnp.sum(ddsk_b, axis=(0, 1)).reshape(nheads, hdim)
+    dD = jnp.sum(dD, axis=1).astype(D.dtype)
+    dcst = (
+        dcst_b.swapaxes(1, 2).astype(cstate.dtype) if has_cst else None
+    )
+    dh0 = (
+        dh0f.reshape(bsz, nheads, hdim, n).astype(h0.dtype)
+        if h0 is not None else None
+    )
+    return (dzx, ddtp, dA.astype(A.dtype), dcst, dcw, dcb, dh0, dD, dnw)
+
+
 def _mixer_vjp_bwd(cfg, interpret, res, cts):
-    """Manual backward assembly: XLA conv recompute (cheap) -> epilogue vjp
+    """Manual backward assembly. Default: the mega-fused kernel
+    (:func:`_mixer_vjp_bwd_fused`). ``VIDEOMAMBA_SSD_BWD=composite`` keeps
+    the original route: XLA conv recompute (cheap) -> epilogue vjp
     (elementwise) -> Pallas scan backward from the forward's checkpoints ->
-    conv vjp. No scan-forward recompute."""
+    conv vjp. No scan-forward recompute either way."""
     from videomamba_tpu.ops.causal_conv1d import causal_conv1d
+    from videomamba_tpu.ops.dispatch import ssd_bwd_fused_enabled
     from videomamba_tpu.ops.norm import rms_norm
+
+    if ssd_bwd_fused_enabled():
+        return _mixer_vjp_bwd_fused(cfg, interpret, res, cts)
 
     zx, dtf, A, cstate, convw, convb, h0, D, nw, hins, yd = res
     (nheads, hdim, ngroups, n, d_inner, conv_dim, chunk_size,
@@ -996,13 +1500,9 @@ def _mixer_vjp_bwd(cfg, interpret, res, cts):
     )
 
     # 5. Decay-logit chains (same as the core vjp).
-    nc = lp // q
-    ds = ds_col + ds_row.swapaxes(1, 2)
-    ds_c = ds.reshape(bsz, nc, q, nheads)
-    ddtA = jnp.flip(jnp.cumsum(jnp.flip(ds_c, 2), axis=2), 2)
-    ddtA = ddtA.reshape(bsz, lp, nheads)
-    ddtp = (ddtp_col + ddtp_row.swapaxes(1, 2) + ddtA * A[None, None, :])
-    dA = jnp.sum(ddtA * dtf, axis=(0, 1)).astype(A.dtype)
+    ddtp, dA = _decay_chain_grads(ds_col, ds_row, ddtp_col, ddtp_row,
+                                  A, dtf, q)
+    dA = dA.astype(A.dtype)
     # The primal dt_p is the caller's UNPADDED tensor.
     ddtp = ddtp[:, :seqlen].astype(dtf.dtype)
 
