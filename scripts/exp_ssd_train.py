@@ -114,6 +114,38 @@ def probe_bwd_kernel():
         n_small=4, n_big=N_BIG, repeats=5)
 
 
+def probe_bwd_mega():
+    """The mega-fused mixer backward kernel alone (in-kernel conv recompute
+    + epilogue bwd + scan bwd + conv bwd -> dzx)."""
+    from videomamba_tpu.ops.pallas.ssd_scan import _ssd_mixer_bwd_padded
+
+    zx = _mk(0, (BSZ, LP, DPJ))
+    dtp = jax.nn.softplus(_mk(1, (BSZ, LP, H), jnp.float32) * 0.3)
+    A = -jnp.exp(_mk(2, (H,), jnp.float32) * 0.1)
+    cst = jnp.zeros((BSZ, W, CD), jnp.bfloat16)
+    cw = _mk(3, (W, CD)) * 0.2
+    cb = jnp.zeros((1, CD), jnp.float32)
+    yd = _mk(4, (BSZ, LP, DI))
+    hins = _mk(5, (BSZ, NC, DI, N), jnp.float32)
+    dout = _mk(6, (BSZ, LP, DI))
+    dhl = _mk(7, (BSZ, DI, N), jnp.float32)
+    Dp = jnp.ones((H,), jnp.float32)
+    nw = jnp.ones((1, DI), jnp.float32)
+
+    def step(carry, zx, dtp, A, cst, cw, cb, yd, hins, dout, dhl, Dp, nw):
+        outs = _ssd_mixer_bwd_padded(
+            _perturb(zx, carry), dtp, A, cst, cw, cb, yd, hins, dout, dhl,
+            Dp, nw, nheads=H, hdim=P, ngroups=G, d_state=N, d_inner=DI,
+            conv_dim=CD, chunk_size=Q,
+        )
+        return outs[0].astype(jnp.float32).ravel()[:1].reshape(())
+
+    return _chain_seconds_per_iter(
+        step, jnp.zeros((), jnp.float32),
+        xs=(zx, dtp, A, cst, cw, cb, yd, hins, dout, dhl, Dp, nw),
+        n_small=4, n_big=N_BIG, repeats=5)
+
+
 def probe_core_fb():
     from videomamba_tpu.ops.pallas.ssd_scan import ssd_mixer_pallas
 
@@ -219,6 +251,7 @@ PROBES = {
     "fwd_plain": lambda: probe_fwd(False),
     "fwd_ckpt": lambda: probe_fwd(True),
     "bwd_kernel": probe_bwd_kernel,
+    "bwd_mega": probe_bwd_mega,
     "core_fb": probe_core_fb,
     "proj_fb": probe_proj_fb,
     "mixer_fb": probe_mixer_fb,

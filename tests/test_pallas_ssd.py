@@ -273,3 +273,98 @@ def test_mega_fused_backward_bf16_dtypes(monkeypatch):
     assert gz.dtype == jnp.bfloat16 and gw.dtype == jnp.bfloat16
     assert bool(jnp.isfinite(gz.astype(jnp.float32)).all())
     assert bool(jnp.isfinite(gw.astype(jnp.float32)).all())
+
+
+class TestProjectedMixer:
+    """ssd_block.py: in/out_proj fused into the scan kernel (both
+    directions) must match the mixer-level route exactly."""
+
+    def _mixer(self):
+        from videomamba_tpu.models.mamba2 import Mamba2
+
+        m = Mamba2(d_model=128, d_state=8, headdim=8, ngroups=2,
+                   chunk_size=16, layer_idx=0)
+        p = m.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 35, 128),
+                              jnp.float32)
+        return m, p, x
+
+    def test_forward_matches_mixer_route(self, monkeypatch):
+        monkeypatch.setenv("VIDEOMAMBA_PALLAS_INTERPRET", "1")
+        m, p, x = self._mixer()
+        monkeypatch.setenv("VIDEOMAMBA_SSD_PMIXER", "1")
+        y_pm = m(p, x)
+        monkeypatch.setenv("VIDEOMAMBA_SSD_PMIXER", "0")
+        y_mx = m(p, x)
+        np.testing.assert_allclose(np.asarray(y_pm), np.asarray(y_mx),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_gradients_match_mixer_route(self, monkeypatch):
+        monkeypatch.setenv("VIDEOMAMBA_PALLAS_INTERPRET", "1")
+        m, p, x = self._mixer()
+
+        def loss(pp, xx):
+            return jnp.sum(m(pp, xx).astype(jnp.float32) ** 2)
+
+        monkeypatch.setenv("VIDEOMAMBA_SSD_PMIXER", "1")
+        g_pm = jax.grad(loss, argnums=(0, 1))(p, x)
+        monkeypatch.setenv("VIDEOMAMBA_SSD_PMIXER", "0")
+        g_mx = jax.grad(loss, argnums=(0, 1))(p, x)
+        for a, b in zip(jax.tree_util.tree_leaves(g_pm),
+                        jax.tree_util.tree_leaves(g_mx)):
+            scale = float(jnp.max(jnp.abs(b))) + 1e-30
+            err = float(jnp.max(jnp.abs(a - b))) / scale
+            assert err <= 2e-5, err
+
+    def test_streaming_matches_full(self, monkeypatch):
+        monkeypatch.setenv("VIDEOMAMBA_PALLAS_INTERPRET", "1")
+        monkeypatch.setenv("VIDEOMAMBA_SSD_PMIXER", "1")
+        m, p, x = self._mixer()
+        y_full = m(p, x[:, :32])
+        st = (jnp.zeros((2, m.conv_dim, m.d_conv), jnp.float32),
+              jnp.zeros((2, m.nheads, m.headdim, m.d_state), jnp.float32))
+        y1, st = m(p, x[:, :16], state=st, return_state=True)
+        y2, st = m(p, x[:, 16:32], state=st, return_state=True)
+        y_stream = jnp.concatenate([y1, y2], axis=1)
+        np.testing.assert_allclose(np.asarray(y_stream),
+                                   np.asarray(y_full),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_bias_falls_back(self, monkeypatch):
+        """Projection biases are outside the kernel contract: the gate must
+        route to the mixer-level path (which supports them)."""
+        monkeypatch.setenv("VIDEOMAMBA_PALLAS_INTERPRET", "1")
+        monkeypatch.setenv("VIDEOMAMBA_SSD_PMIXER", "1")
+        from videomamba_tpu.models.mamba2 import Mamba2
+
+        m = Mamba2(d_model=128, d_state=8, headdim=8, ngroups=2,
+                   chunk_size=16, bias=True, layer_idx=0)
+        p = m.init(jax.random.PRNGKey(0))
+        assert not m._pmixer_ok(p)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 20, 128),
+                              jnp.float32)
+        monkeypatch.setenv("VIDEOMAMBA_SSD_METHOD", "chunked")
+        y_ref = m(p, x)
+        monkeypatch.delenv("VIDEOMAMBA_SSD_METHOD")
+        y = m(p, x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_bf16_dtypes_finite(self, monkeypatch):
+        monkeypatch.setenv("VIDEOMAMBA_PALLAS_INTERPRET", "1")
+        monkeypatch.setenv("VIDEOMAMBA_SSD_PMIXER", "1")
+        from videomamba_tpu.models.mamba2 import Mamba2
+
+        m = Mamba2(d_model=128, d_state=8, headdim=8, chunk_size=16,
+                   layer_idx=0)
+        p = m.init(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 128),
+                              jnp.bfloat16)
+
+        def loss(pp):
+            return jnp.sum(m(pp, x).astype(jnp.float32) ** 2)
+
+        g = jax.grad(loss)(p)
+        assert g["in_proj"]["kernel"].dtype == jnp.bfloat16
+        assert all(bool(jnp.isfinite(a.astype(jnp.float32)).all())
+                   for a in jax.tree_util.tree_leaves(g))

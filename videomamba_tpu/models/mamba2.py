@@ -221,10 +221,6 @@ class Mamba2:
             conv_state, ssm_state = state
         need_state = return_state or return_ssm_state
 
-        zxbcdt = hidden_states @ params["in_proj"]["kernel"]
-        if "bias" in params["in_proj"]:
-            zxbcdt = zxbcdt + params["in_proj"]["bias"]
-
         h, p, g, n = self.nheads, self.headdim, self.ngroups, self.d_state
         method = "ref"
         if self.use_fast_path:
@@ -233,6 +229,50 @@ class Mamba2:
                 h, p, g, n, self.chunk_size
             ):
                 method = "chunked"
+
+        if method == "pallas" and self._pmixer_ok(params):
+            # Projected-mixer kernel: in_proj + conv + scan + gate/norm +
+            # out_proj in ONE pallas_call — the projection matmuls ride the
+            # scan's idle MXU slots and the zx/gated HBM round trips
+            # disappear (ops/pallas/ssd_block.py).
+            from videomamba_tpu.ops.pallas.ssd_block import (
+                ssd_projected_mixer,
+            )
+
+            A = -jnp.exp(params["A_log"].astype(jnp.float32))
+            h0 = (ssm_state.astype(jnp.float32)
+                  if ssm_state is not None else None)
+            out, new_ssm_state = ssd_projected_mixer(
+                hidden_states, A, params["in_proj"]["kernel"],
+                params["out_proj"]["kernel"], params["conv1d"]["weight"],
+                params["conv1d"].get("bias"), params["D"],
+                params["dt_bias"], initial_state=h0, conv_state=conv_state,
+                norm_weight=(params["norm"]["weight"] if self.rmsnorm
+                             else None),
+                norm_eps=self.norm_epsilon, chunk_size=self.chunk_size,
+                nheads=h, hdim=p, ngroups=g, d_state=n,
+            )
+            if need_state and ssm_state is not None:
+                new_ssm_state = new_ssm_state.astype(ssm_state.dtype)
+            if return_state:
+                # Conv window: recompute the raw [x B C] tail for the last
+                # W positions only (one tiny matmul; the kernel never
+                # materializes zx in HBM).
+                w = self.d_conv
+                win = params["in_proj"]["kernel"]
+                raw_tail = hidden_states[:, -w:] @ win[
+                    :, self.d_inner:self.d_inner + self.conv_dim]
+                new_conv_state = _conv_window(raw_tail, conv_state, w)
+                if conv_state is not None:
+                    new_conv_state = new_conv_state.astype(conv_state.dtype)
+                return out, (new_conv_state, new_ssm_state)
+            if return_ssm_state:
+                return out, new_ssm_state
+            return out
+
+        zxbcdt = hidden_states @ params["in_proj"]["kernel"]
+        if "bias" in params["in_proj"]:
+            zxbcdt = zxbcdt + params["in_proj"]["bias"]
 
         if method == "pallas":
             # Whole mixer core in one kernel: conv + SiLU + SSD scan +
@@ -317,6 +357,25 @@ class Mamba2:
         if return_ssm_state:
             return out, new_ssm_state
         return out
+
+    def _pmixer_ok(self, params: Params) -> bool:
+        """Projected-mixer gate: knob on, VMEM-sized weights, and the
+        reference default of bias-free projections (the kernel's dWin/dWout
+        contract has no bias rows)."""
+        from videomamba_tpu.ops.dispatch import ssd_pmixer_enabled
+        from videomamba_tpu.ops.pallas.ssd_block import ssd_pmixer_supported
+
+        if not ssd_pmixer_enabled():
+            return False
+        if "bias" in params["in_proj"] or "bias" in params["out_proj"]:
+            return False
+        wbytes = (
+            4 if params["in_proj"]["kernel"].dtype == jnp.float32 else 2
+        )
+        return ssd_pmixer_supported(
+            self.d_model, self.nheads, self.headdim, self.ngroups,
+            self.d_state, self.chunk_size, weight_bytes_per_el=wbytes,
+        )
 
     # --------------------------------------------------------------- decode
 

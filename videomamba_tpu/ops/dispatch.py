@@ -81,7 +81,18 @@ _KERNEL_KNOB_ENVS = (
     "VIDEOMAMBA_BLOCK_BWD",
     "VIDEOMAMBA_NORM_BWD",
     "VIDEOMAMBA_SSD_BWD",
+    "VIDEOMAMBA_SSD_PMIXER",
 )
+
+
+def ssd_pmixer_enabled() -> bool:
+    """Projected-mixer SSD kernel (in/out_proj fused into the scan kernel,
+    default) vs the mixer-level route (projections in XLA around
+    ssd_mixer_pallas). ``VIDEOMAMBA_SSD_PMIXER=0`` opts out. Read at trace
+    time — part of :func:`kernel_knob_fingerprint`."""
+    return os.getenv("VIDEOMAMBA_SSD_PMIXER", "1").strip().lower() not in {
+        "0", "false", "off", "no"
+    }
 
 
 def ssd_bwd_fused_enabled() -> bool:

@@ -241,7 +241,7 @@ def _ssd_kernel(
         # trip between them.
         if checkpoints:
             # Pre-gate y (scan + D-skip): the backward's epilogue residual.
-            yd_ref[0] = y_scr[:]
+            yd_ref[0] = y_scr[:].astype(yd_ref.dtype)
         gated = y_scr[:] * jax.nn.silu(z_val.astype(jnp.float32))
         if has_norm:
             var = jnp.mean(jnp.square(gated), axis=1, keepdims=True)
@@ -810,7 +810,7 @@ def _ssd_mixer_bwd_kernel(
     # ---- 2. epilogue backward: silu(z) gate (+ gated RMSNorm) at the
     # stored pre-gate y.
     z_val = zx[:, :d_inner].astype(jnp.float32)
-    yd = yd_ref[0]                          # (q, DI) f32
+    yd = yd_ref[0].astype(jnp.float32)      # (q, DI)
     sig_z = jax.nn.sigmoid(z_val)
     silu_z = z_val * sig_z
     gate = yd * silu_z
@@ -1239,8 +1239,12 @@ def _ssd_mixer_padded(
         out_specs.append(
             pl.BlockSpec((1, q, d_inner), blk, memory_space=pltpu.VMEM)
         )
+        # Pre-gate y checkpoint in the COMPUTE dtype: in bf16 training it
+        # halves this stream's HBM traffic; the epilogue gradient tolerance
+        # already has bf16 rounding everywhere else. fp32 runs keep fp32
+        # (exact-parity tests unaffected).
         out_shape.append(
-            jax.ShapeDtypeStruct((bsz, lp, d_inner), jnp.float32)
+            jax.ShapeDtypeStruct((bsz, lp, d_inner), zx.dtype)
         )
 
     outs = pl.pallas_call(
@@ -1460,7 +1464,7 @@ def _mixer_vjp_bwd(cfg, interpret, res, cts):
     yd_t = yd[:, :seqlen]
 
     def epilogue(yd_, z_, *maybe_nw):
-        gated = yd_ * jax.nn.silu(z_.astype(jnp.float32))
+        gated = yd_.astype(jnp.float32) * jax.nn.silu(z_.astype(jnp.float32))
         if maybe_nw:
             gated = rms_norm(gated, maybe_nw[0], eps=norm_eps)
         return gated.astype(zx.dtype)
