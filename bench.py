@@ -553,6 +553,22 @@ def main():
     except Exception as e:
         print(f"# base_train_donated skipped: {type(e).__name__}: {e}",
               flush=True)
+    # Mamba-2 (SSD) train step at Base geometry: the scalar-decay family's
+    # training cost, driver-captured alongside Mamba-1's.
+    try:
+        details.update(
+            bench_train_step(
+                lambda **kw: videomamba_base(
+                    ssm_cfg={"layer": "Mamba2", "d_state": 64, "headdim": 64,
+                             "chunk_size": 128},
+                    **kw,
+                ),
+                "m2_base_train", 8, 4, args.quick,
+            )
+        )
+    except Exception as e:
+        print(f"# m2_base_train skipped: {type(e).__name__}: {e}",
+              flush=True)
     if not args.skip_parity:
         details.update(bench_parity())
         try:
