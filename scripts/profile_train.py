@@ -24,7 +24,12 @@ def main():
     import os
     iters = int(os.environ.get("PROF_ITERS", "1"))
     depth = int(os.environ.get("PROF_DEPTH", "24"))
-    model = videomamba_base(num_frames=8, depth=depth)
+    ssm_cfg = None
+    if os.environ.get("PROF_M2", "0") == "1":
+        ssm_cfg = {"layer": "Mamba2", "d_state": 64,
+                   "headdim": int(os.environ.get("PROF_HEADDIM", "64")),
+                   "chunk_size": 128}
+    model = videomamba_base(num_frames=8, depth=depth, ssm_cfg=ssm_cfg)
     tx = optax.adamw(1e-4, weight_decay=0.05)
     params = model.params
     opt_state = jax.jit(tx.init)(params)
