@@ -38,12 +38,9 @@ def main():
     from videomamba_tpu.models import presets
 
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
-    extra = {}
-    if args.mamba2:
-        extra["ssm_cfg"] = {"layer": "Mamba2", "d_state": 64, "headdim": 64,
-                            "chunk_size": 128}
-    model = getattr(presets, f"videomamba_{args.preset}")(
-        num_frames=args.chunk, pool_type="avg", dtype=dtype, rng=0, **extra
+    name = f"videomamba_{args.preset}" + ("_m2" if args.mamba2 else "")
+    model = getattr(presets, name)(
+        num_frames=args.chunk, pool_type="avg", dtype=dtype, rng=0
     )
     print(f"model={args.preset}{'+ssd' if args.mamba2 else ''} "
           f"dtype={dtype.__name__} "

@@ -22,9 +22,13 @@ from videomamba_tpu.models.mamba import Mamba
 from videomamba_tpu.models.mamba2 import Mamba2
 from videomamba_tpu.models.presets import (
     videomamba_base,
+    videomamba_base_m2,
     videomamba_middle,
+    videomamba_middle_m2,
     videomamba_small,
+    videomamba_small_m2,
     videomamba_tiny,
+    videomamba_tiny_m2,
 )
 from videomamba_tpu.models.mamba import InferenceCache
 from videomamba_tpu.models.refiner import BiMambaRefinerBlock
@@ -78,7 +82,11 @@ __all__ = [
     "next_rng_key",
     "validate_state",
     "videomamba_base",
+    "videomamba_base_m2",
     "videomamba_middle",
+    "videomamba_middle_m2",
     "videomamba_small",
+    "videomamba_small_m2",
     "videomamba_tiny",
+    "videomamba_tiny_m2",
 ]

@@ -73,10 +73,10 @@ class Mamba2:
     use_fast_path: bool = True
     layer_idx: Optional[int] = None
     bimamba: bool = False  # accepted for create_block parity; unused
+    sp_axis: Optional[str] = None
 
     # Block-level fusion is a Mamba-1 kernel; the SSD path is already MXU.
     supports_block_fusion = False
-    sp_axis = None
 
     def __post_init__(self):
         if self.d_inner % self.headdim:
@@ -210,6 +210,26 @@ class Mamba2:
         """
         if state is not None and ssm_state is not None:
             raise ValueError("pass either state or ssm_state, not both.")
+        if self.sp_axis is not None:
+            # Sequence-parallel route: hidden_states is the local time shard
+            # of a shard_map over mesh axis ``sp_axis``; the conv halo and
+            # the recurrence combine live in parallel.sequence. Cheaper than
+            # Mamba-1's SP — the segment decay is (B, H) scalars per head.
+            if inference_params is not None:
+                raise ValueError(
+                    "inference_params is not supported under sequence "
+                    "parallelism; decode on a single shard."
+                )
+            from videomamba_tpu.parallel.sequence import (
+                sequence_parallel_mixer_m2,
+            )
+
+            return sequence_parallel_mixer_m2(
+                self, params, hidden_states,
+                axis_name=self.sp_axis, state=state,
+                return_state=return_state, ssm_state=ssm_state,
+                return_ssm_state=return_ssm_state,
+            )
         if inference_params is not None:
             if state is not None or ssm_state is not None:
                 raise ValueError("state is not supported with inference_params.")

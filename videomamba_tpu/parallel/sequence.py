@@ -264,3 +264,196 @@ def sequence_parallel_mixer(
     if conv_state is not None:
         new_conv_state = new_conv_state.astype(conv_state.dtype)
     return out, (new_conv_state, new_ssm_state)
+
+
+# ---------------------------------------------------------------------------
+# Mamba-2 (SSD): the scalar-per-head decay makes sequence parallelism CHEAPER
+# than Mamba-1's — a segment's total decay is exp(A_h * sum_t dt_t) per head
+# ((B, H) floats vs Mamba-1's (B, D, N)), and the entry-state correction is
+# one einsum with no chunking (no (c, D, N) transient to bound).
+# ---------------------------------------------------------------------------
+
+
+def sequence_parallel_ssd(
+    x: Array,
+    dt: Array,
+    A: Array,
+    B: Array,
+    C: Array,
+    D: Optional[Array] = None,
+    z: Optional[Array] = None,
+    dt_bias: Optional[Array] = None,
+    dt_softplus: bool = True,
+    initial_state: Optional[Array] = None,
+    axis_name: str = "sp",
+    chunk_size: int = 64,
+    method: str = "chunked",
+) -> Tuple[Array, Array]:
+    """SSD scan over a time-sharded sequence (call inside shard_map).
+
+    Args are the local shards, layouts as in ``ssd_chunked``
+    (x: (B, L_loc, H, P); dt: (B, L_loc, H); A: (H,); B/C: (B, L_loc, G, N);
+    initial_state: (B, H, P, N), meaningful on the axis-0 device).
+
+    Returns:
+        (out_local (B, L_loc, H, P) in x.dtype — this device's output slice,
+         h_last_global (B, H, P, N) float32 — post-sequence state, replicated).
+    """
+    from videomamba_tpu.ops.ssd import (
+        _expand_groups,
+        _finish,
+        _prepare_dt,
+        ssd_chunked,
+    )
+
+    dtype_in = x.dtype
+    bsz, l_loc, nheads, hdim = x.shape
+    n = B.shape[-1]
+    A32 = A.astype(jnp.float32)
+
+    # Prepare dt once (bias + softplus) so the local scan, segment decay,
+    # and closed-form correction agree exactly.
+    dt_p = _prepare_dt(dt, dt_bias, dt_softplus)  # (B, L_loc, H) fp32
+
+    # 1. Local scan from zero state, raw outputs (D-skip/gate after the
+    #    cross-device correction).
+    y_loc, h_loc = ssd_chunked(
+        x.astype(jnp.float32), dt_p, A32, B, C,
+        D=None, z=None, dt_bias=None, dt_softplus=False,
+        initial_state=None, return_last_state=True,
+        chunk_size=chunk_size, method=method,
+    )
+
+    # 2. Segment decay in closed form — scalar per head.
+    seg_decay = jnp.exp(A32[None] * jnp.sum(dt_p, axis=1))  # (B, H)
+
+    # 3. Exclusive prefix combine across the sp axis.
+    k = lax.axis_index(axis_name)
+    num = lax.axis_size(axis_name)
+    decays = lax.all_gather(seg_decay, axis_name)           # (K, B, H)
+    h_locs = lax.all_gather(h_loc, axis_name)               # (K, B, H, P, N)
+
+    h_init = (
+        jnp.zeros((bsz, nheads, hdim, n), jnp.float32)
+        if initial_state is None
+        else initial_state.astype(jnp.float32)
+    )
+
+    def combine(i, h):
+        seg = decays[i][:, :, None, None] * h + h_locs[i]
+        return jnp.where(i < k, seg, h)
+
+    h0_local = lax.fori_loop(0, num, combine, h_init)       # (B, H, P, N)
+
+    def combine_all(i, h):
+        return decays[i][:, :, None, None] * h + h_locs[i]
+
+    h_last_global = lax.fori_loop(0, num, combine_all, h_init)
+
+    # 4. Closed-form correction, one einsum:
+    #    y[b,l,h,:] += exp(A_h * cumdt[b,l,h]) * (C[b,l,g(h)] . h0[b,h,:,:]^T)
+    cumdt = jnp.cumsum(dt_p, axis=1)                        # (B, L_loc, H)
+    decay_t = jnp.exp(cumdt * A32[None, None])              # (B, L_loc, H)
+    Ch = _expand_groups(C.astype(jnp.float32), nheads)      # (B, L_loc, H, N)
+    corr = jnp.einsum(
+        "blhn,bhpn->blhp", Ch, h0_local,
+        precision=lax.Precision.HIGHEST,
+    )
+    y = y_loc + decay_t[..., None] * corr
+    out = _finish(y, x, D, z, dtype_in)
+    return out, h_last_global
+
+
+def sequence_parallel_mixer_m2(
+    mixer,
+    params: Params,
+    hidden_states: Array,
+    axis_name: str = "sp",
+    state: Optional[LayerState] = None,
+    return_state: bool = False,
+    ssm_state: Optional[Array] = None,
+    return_ssm_state: bool = False,
+) -> Union[Array, Tuple[Array, LayerState], Tuple[Array, Array]]:
+    """Full Mamba-2 mixer over a time-sharded sequence (call inside shard_map).
+
+    Mirrors :func:`sequence_parallel_mixer` for the SSD family: the
+    device-local pieces (in_proj, depthwise conv over the [x B C] slab,
+    gated RMSNorm, out_proj) run unmodified on each shard; the conv halo
+    rides one ``lax.ppermute`` hop and the recurrence combine is
+    :func:`sequence_parallel_ssd`. Same contract as ``Mamba2.__call__`` with
+    ``hidden_states`` the local (B, L/sp, d_model) shard; returned states are
+    the global-sequence states, replicated across the sp axis.
+    """
+    conv_state = None
+    if state is not None:
+        conv_state, ssm_state = state
+
+    w = params["conv1d"]["weight"].shape[0]
+    bsz, l_loc, _ = hidden_states.shape
+    if l_loc < w:
+        raise ValueError(
+            f"sequence-parallel shard length {l_loc} must be >= d_conv {w}"
+        )
+
+    zxbcdt = hidden_states @ params["in_proj"]["kernel"]
+    if "bias" in params["in_proj"]:
+        zxbcdt = zxbcdt + params["in_proj"]["bias"]
+    z, xBC, dt = mixer._split_zxbcdt(zxbcdt)
+
+    # Conv halo over the raw [x B C] slab.
+    num = lax.axis_size(axis_name)
+    local_window = xBC[:, -w:].swapaxes(1, 2)  # (B, conv_dim, w)
+    if num > 1:
+        perm = [(i, i + 1) for i in range(num - 1)]
+        prev_window = lax.ppermute(local_window, axis_name, perm)
+    else:
+        prev_window = jnp.zeros_like(local_window)
+    if conv_state is not None:
+        is_first = lax.axis_index(axis_name) == 0
+        prev_window = jnp.where(
+            is_first, conv_state.astype(prev_window.dtype), prev_window
+        )
+
+    from videomamba_tpu.ops.causal_conv1d import causal_conv1d
+
+    xBC = causal_conv1d(
+        xBC,
+        params["conv1d"]["weight"],
+        params["conv1d"].get("bias"),
+        activation="silu",
+        initial_state=prev_window,
+    )
+
+    x, B, C = mixer._split_xbc(xBC)
+    h, p, g, n = mixer.nheads, mixer.headdim, mixer.ngroups, mixer.d_state
+    x = x.reshape(bsz, l_loc, h, p)
+    B = B.reshape(bsz, l_loc, g, n)
+    C = C.reshape(bsz, l_loc, g, n)
+    A = -jnp.exp(params["A_log"].astype(jnp.float32))
+
+    y, h_last = sequence_parallel_ssd(
+        x, dt, A, B, C,
+        D=params["D"],
+        dt_bias=params["dt_bias"],
+        dt_softplus=True,
+        initial_state=ssm_state,
+        axis_name=axis_name,
+        chunk_size=mixer.chunk_size,
+    )
+    y = y.reshape(bsz, l_loc, mixer.d_inner)
+
+    out = mixer._gate_and_project(params, y, z)
+
+    if not return_state and not return_ssm_state:
+        return out
+
+    new_ssm_state = (
+        h_last.astype(ssm_state.dtype) if ssm_state is not None else h_last
+    )
+    if return_ssm_state:
+        return out, new_ssm_state
+
+    new_conv_state = lax.all_gather(local_window, axis_name)[num - 1]
+    if conv_state is not None:
+        new_conv_state = new_conv_state.astype(conv_state.dtype)
+    return out, (new_conv_state, new_ssm_state)
