@@ -58,6 +58,114 @@ def block_fused_supported(d_model: int, d_inner: int, dt_rank: int,
     return weight_bytes + temp_bytes < 14 * 1024 * 1024
 
 
+class BlockForm:
+    """Host-side kernel-form decision for the fused Block (pure function of
+    geometry + knobs; unit-tested directly in tests/test_block_form.py).
+
+    Forms, fastest-first where they fit:
+      static-parity pipelined — compile-time slot indices in the two-stage
+        software pipeline; the two pl.when branch bodies stack scoped VMEM
+        (~2x), so gated to small working sets (est <= 8 MB: Tiny/Small).
+      dynamic-slot pipelined — traced l%2 slot index; fits Base
+        (est <= 18 MB window under the 16 MB scoped default, which the
+        estimate overshoots by ~2 MB — calibrated, see select_block_form).
+      plain — no pipelining; also the training form (checkpoints couple the
+        pipeline stages) and the automatic fallback past the 18 MB window.
+    """
+
+    __slots__ = ("pipelined", "static_parity", "vmem_raise", "est")
+
+    def __init__(self, pipelined, static_parity, vmem_raise, est):
+        self.pipelined = pipelined
+        self.static_parity = static_parity
+        self.vmem_raise = vmem_raise
+        self.est = est
+
+    @property
+    def name(self) -> str:
+        if not self.pipelined:
+            return "plain"
+        return "static-parity" if self.static_parity else "dynamic-slot"
+
+
+def select_block_form(
+    *,
+    e: int,
+    d_inner: int,
+    n: int,
+    width: int,
+    block_l: int,
+    weight_itemsize: int,
+    hidden_itemsize: int,
+    residual_fp32: bool,
+    f32_epilogue: bool,
+    checkpoints: bool,
+    pipeline_env: bool = True,
+    static_force: str = "",
+    block_l_forced: bool = False,
+    verbose: bool = True,
+) -> BlockForm:
+    """Pick the kernel form for a geometry (pure host logic, no tracing).
+
+    Working-set estimate is calibrated against the compiler's scoped-VMEM
+    accounting (Base c=128 measures 17.75 MB there yet fits the 16 MB limit
+    in the dynamic-slot form — the estimate runs hot by ~2 MB). Small sets
+    get the statically parity-specialized kernel (faster walk addressing,
+    ~2x stack); mid-size sets the dynamic-slot kernel; anything beyond what
+    Base measures falls back to the plain kernel unless block_l was forced
+    (then the pipelined form keeps a raised scoped-VMEM limit so sweeps
+    measure the pipelined kernel).
+    """
+    pipelined = not checkpoints and pipeline_env
+    static_parity = False
+    vmem_raise = False
+    est = 0
+    if pipelined:
+        wb = weight_itemsize
+        hb = hidden_itemsize
+        rb = 4 if residual_fp32 else hb
+        zb = 4 if f32_epilogue else 2
+        weights = (e * 2 * d_inner + d_inner * e + width * d_inner
+                   + d_inner * 3 * PACK + PACK * d_inner) * wb
+        blocks = 2 * (block_l * e * hb * 2 + block_l * e * rb * 2)
+        scratch = (block_l * d_inner * (2 * 4 + 2 * 4 + 2 * zb + 4)
+                   + n * d_inner * 4 + (width - 1) * d_inner * 4
+                   + 2 * 2 * n * block_l * 4)
+        temps = int(2.25 * block_l * d_inner * 4)
+        est = weights + blocks + scratch + temps
+        if est <= 8 * 1024 * 1024:
+            static_parity = True
+        elif est > 18 * 1024 * 1024:
+            # Beyond the window the dynamic-slot form no longer provably
+            # fits the 16 MB scoped default. An EXPLICIT block_l (env knob
+            # or non-default kwarg) keeps the pipelined form with a raised
+            # limit so a block_l sweep actually measures the pipelined
+            # kernel; automatic geometry selection falls back to the plain
+            # kernel (and says so — a silent drop would mislead sweeps).
+            if block_l_forced:
+                vmem_raise = True
+            else:
+                pipelined = False
+                if verbose:
+                    print(
+                        f"# block_fused: working-set est {est / 2**20:.1f} "
+                        f"MB > 18 MB at block_l={block_l}; using the "
+                        f"unpipelined kernel (pass an explicit block_l to "
+                        f"force the pipelined form)",
+                        flush=True,
+                    )
+        # VIDEOMAMBA_BLOCK_STATIC=1/0 overrides the form choice (A/B knob).
+        # Closed door (2026-08-18, v5e): forcing static-parity at Base with
+        # the scoped-VMEM limit raised to 100 MB compiles fine but measures
+        # 37.0 vs 34.6 ms/chunk (2 runs each) — the doubled branch-body
+        # VMEM squeezes the input double-buffering; Base keeps dynamic-slot.
+        if static_force == "1" and pipelined:
+            static_parity = True
+        elif static_force == "0":
+            static_parity = False
+    return BlockForm(pipelined, static_parity, vmem_raise, est)
+
+
 def _block_kernel(
     hid_ref,      # (1, c, E) hidden in
     res_ref,      # (1, c, E) residual in (f32 policy upstream)
@@ -456,59 +564,19 @@ def _block_fused_jit(
     if block_l <= width:
         raise ValueError("block_l must exceed the conv width.")
 
-    pipelined = not checkpoints and pipeline_env
-    static_parity = False
-    vmem_raise = False
-    est = 0
-    if pipelined:
-        # Working-set estimate, calibrated against the compiler's scoped
-        # VMEM accounting (Base c=128 measures 17.75 MB there yet fits the
-        # 16 MB limit in the dynamic-slot form — the estimate runs hot by
-        # ~2 MB). Small sets get the statically parity-specialized kernel
-        # (faster walk addressing, ~2x stack); mid-size sets the
-        # dynamic-slot kernel; anything beyond what Base measures falls
-        # back to the plain kernel.
-        wb = win.dtype.itemsize
-        hb = hidden.dtype.itemsize
-        rb = 4 if residual_fp32 else hb
-        zb = 4 if (highest or hidden.dtype == jnp.float32) else 2
-        weights = (e * 2 * d_inner + d_inner * e + width * d_inner
-                   + d_inner * 3 * PACK + PACK * d_inner) * wb
-        blocks = 2 * (block_l * e * hb * 2 + block_l * e * rb * 2)
-        scratch = (block_l * d_inner * (2 * 4 + 2 * 4 + 2 * zb + 4)
-                   + n * d_inner * 4 + (width - 1) * d_inner * 4
-                   + 2 * 2 * n * block_l * 4)
-        temps = int(2.25 * block_l * d_inner * 4)
-        est = weights + blocks + scratch + temps
-        if est <= 8 * 1024 * 1024:
-            static_parity = True
-        elif est > 18 * 1024 * 1024:
-            # Beyond the window the dynamic-slot form no longer provably
-            # fits the 16 MB scoped default. An EXPLICIT block_l (env knob
-            # or non-default kwarg) keeps the pipelined form with a raised
-            # limit so a block_l sweep actually measures the pipelined
-            # kernel; automatic geometry selection falls back to the plain
-            # kernel (and says so — a silent drop would mislead sweeps).
-            if block_l_forced:
-                vmem_raise = True
-            else:
-                pipelined = False
-                print(
-                    f"# block_fused: working-set est {est / 2**20:.1f} MB "
-                    f"> 18 MB at block_l={block_l}; using the unpipelined "
-                    f"kernel (pass an explicit block_l to force the "
-                    f"pipelined form)",
-                    flush=True,
-                )
-        # VIDEOMAMBA_BLOCK_STATIC=1/0 overrides the form choice (A/B knob).
-        # Closed door (2026-08-18, v5e): forcing static-parity at Base with
-        # the scoped-VMEM limit raised to 100 MB compiles fine but measures
-        # 37.0 vs 34.6 ms/chunk (2 runs each) — the doubled branch-body
-        # VMEM squeezes the input double-buffering; Base keeps dynamic-slot.
-        if static_force == "1" and pipelined:
-            static_parity = True
-        elif static_force == "0":
-            static_parity = False
+    form = select_block_form(
+        e=e, d_inner=d_inner, n=n, width=width, block_l=block_l,
+        weight_itemsize=win.dtype.itemsize,
+        hidden_itemsize=hidden.dtype.itemsize,
+        residual_fp32=residual_fp32,
+        f32_epilogue=(highest or hidden.dtype == jnp.float32),
+        checkpoints=checkpoints, pipeline_env=pipeline_env,
+        static_force=static_force, block_l_forced=block_l_forced,
+    )
+    pipelined = form.pipelined
+    static_parity = form.static_parity
+    vmem_raise = form.vmem_raise
+    est = form.est
     pad = (-seqlen) % block_l
     lpad = seqlen + pad
     if pad:
