@@ -7,9 +7,10 @@ Hypotheses: (a) arithmetic: Small has 2x the tokens of base_clip8 (16f vs
 (b) tiling: block kernels tuned at d_inner=1536 pad badly at 768.
 
 Probes (depth differencing within one process, chain-timed):
-  clip24 / clip12   Small full-clip fwd at depth 24 / 12
-  block_fb          one Block forward at Small shapes (isolated chain)
-  base24 / base12   base_clip8 equivalents for the comparison column
+  clip24 / clip12          Small full-clip fwd at depth 24 / 12
+  block_small / block_base one Block forward at Small / Base shapes
+                           (isolated chains, for the comparison column)
+  base24 / base12          base_clip8 equivalents
 
 Usage: python scripts/exp_small.py [probe...]
 """
@@ -78,6 +79,9 @@ PROBES = {
 
 if __name__ == "__main__":
     names = sys.argv[1:] or list(PROBES)
+    unknown = [n for n in names if n not in PROBES]
+    if unknown:
+        sys.exit(f"unknown probe(s) {unknown}; valid: {sorted(PROBES)}")
     for name in names:
         sec = PROBES[name]()
         print({"probe": name, "ms": round(sec * 1e3, 3)}, flush=True)
