@@ -75,6 +75,13 @@ PROBES = {
     "base12": lambda: probe_clip("base", 8, 12),
     "block_small": lambda: probe_block_fb(384, 3137),
     "block_base": lambda: probe_block_fb(768, 1569),
+    # Discriminators between hypotheses (a) walk weight and (b) d=384
+    # tiling: at equal L the walk time is equal (VPU-issue-bound,
+    # d-independent), so block_384_short vs block_base separates the
+    # matmul-efficiency ratio from the walk share; block_768_long checks
+    # L-proportionality at Base width.
+    "block_384_short": lambda: probe_block_fb(384, 1569),
+    "block_768_long": lambda: probe_block_fb(768, 3137),
 }
 
 if __name__ == "__main__":
