@@ -275,6 +275,48 @@ def bench_train_step(preset_fn, name, num_frames, batch_size, quick):
     }
 
 
+def bench_decode_step(preset_fn, name, quick):
+    """Token decode through the whole layer stack (Pallas vs XLA A/B).
+
+    Chain-differenced (jax.device_get sync) — the only honest timing for
+    sub-ms programs through the axon tunnel, where block_until_ready acks
+    dispatch rather than completion (round-5 methodology note, ROADMAP).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from videomamba_tpu.runtime import DecodeSession
+
+    model = preset_fn(
+        num_frames=8, pool_type="avg", add_pool_norm=False,
+        dtype=jnp.bfloat16, rng=0,
+    )
+    tok = jax.random.normal(
+        jax.random.PRNGKey(1), (1, model.embed_dim), jnp.bfloat16)
+    out = {}
+    for backend, use_pallas in (("pallas", None), ("xla", False)):
+        sess = DecodeSession(model, batch_size=1, dtype=jnp.bfloat16,
+                             use_pallas=use_pallas)
+        if backend == "pallas" and sess.backend != "pallas":
+            print(f"# {name}: pallas decode unavailable here", flush=True)
+            continue
+        weights = sess._packs if sess.backend == "pallas" else sess.stacked
+
+        def step(carry, params, w):
+            conv, ssm, t = carry
+            feat, conv, ssm = sess._step.__wrapped__(params, w, conv, ssm, t)
+            return (conv, ssm, feat.astype(t.dtype))
+
+        carry0 = (sess.conv_states, sess.ssm_states, tok)
+        sec = _chain_seconds_per_iter(
+            step, carry0, xs=(model.params, weights),
+            n_small=4, n_big=32 if quick else 128, repeats=3 if quick else 8)
+        suffix = "" if sess.backend == "pallas" else "_xla"
+        out[f"{name}{suffix}_step_ms"] = sec * 1e3
+        out[f"{name}{suffix}_tokens_per_sec"] = 1.0 / sec
+    return out
+
+
 def bench_train_pipeline_ab(preset_fn, name, num_frames, batch_size, quick):
     """Interleaved pipelined vs non-pipelined fused-mixer train A/B.
 
@@ -547,6 +589,14 @@ def main():
     except Exception as e:  # round-2 saw remote-compile 500s at this size
         print(f"# base_stream_b16 skipped: {type(e).__name__}: {e}",
               flush=True)
+    # Whole-stack Pallas decode step vs the XLA scan path (both recorded so
+    # the artifact carries its own A/B; the kernel runs at the HBM
+    # weight-read floor, ~0.21 ms/token at Base).
+    try:
+        details.update(bench_decode_step(videomamba_base, "base_decode",
+                                         args.quick))
+    except Exception as e:
+        print(f"# base_decode skipped: {type(e).__name__}: {e}", flush=True)
     # Paired pipelined/non-pipelined train step (interleaved, one session)
     # so the round artifact self-evidences the pipelining claim.
     try:

@@ -89,7 +89,8 @@ class DecodeSession:
     (e.g. via a streaming prefill) and feed tokens one at a time.
     """
 
-    def __init__(self, model, batch_size: int, dtype: Optional[jnp.dtype] = None):
+    def __init__(self, model, batch_size: int, dtype: Optional[jnp.dtype] = None,
+                 use_pallas: Optional[bool] = None):
         self.model = model
         self.batch_size = batch_size
         block = model.layers[0]
@@ -105,7 +106,114 @@ class DecodeSession:
         depth = model.depth
         self.conv_states = jnp.broadcast_to(conv, (depth,) + conv.shape)
         self.ssm_states = jnp.broadcast_to(ssm, (depth,) + ssm.shape)
-        self._step = self._build_step()
+        self.backend = "pallas" if self._pallas_ok(use_pallas) else "xla"
+        if self.backend == "pallas":
+            # Kernel layouts: states time-major-in-lanes (K, B, W, Di) /
+            # (K, B, N, Di); weight packs precomputed once.
+            self.conv_states = self.conv_states.swapaxes(2, 3)
+            self.ssm_states = self.ssm_states.swapaxes(2, 3)
+            self._packs = self._build_packs()
+            self._step = self._build_step_pallas()
+        else:
+            self._step = self._build_step()
+
+    def _pallas_ok(self, use_pallas: Optional[bool]) -> bool:
+        """Whole-stack decode kernel eligibility (auto unless forced)."""
+        from videomamba_tpu.ops import dispatch
+
+        if use_pallas is False:
+            return False
+        runnable = dispatch.on_tpu() or dispatch.interpret_mode()
+        mixer = self.mixer
+        lp0 = self.stacked["mixer"]
+        compatible = (
+            hasattr(mixer, "dt_rank_")                 # Mamba-1 family
+            and "bias" not in lp0["in_proj"]
+            and "bias" not in lp0["out_proj"]
+            and self.norm_type in ("rms", "layer")
+        )
+        if compatible:
+            from videomamba_tpu.ops.pallas.decode_step import (
+                decode_stack_supported,
+            )
+
+            compatible = decode_stack_supported(
+                mixer.d_model, mixer.d_inner, mixer.dt_rank_, mixer.d_state
+            )
+        if use_pallas and not compatible:
+            raise ValueError(
+                "use_pallas=True but the decode kernel does not support this "
+                "model (needs Mamba-1 mixer, no projection biases, rms/layer "
+                "norm, dt_rank+2*d_state <= 128)."
+            )
+        if use_pallas is None and not runnable:
+            return False
+        return compatible
+
+    def _build_packs(self):
+        """Stacked, lane-packed per-layer weights for the decode kernel."""
+        from videomamba_tpu.ops.pallas.mixer_fused import PACK
+
+        lp = self.stacked
+        mixer = self.mixer
+        r, n = mixer.dt_rank_, mixer.d_state
+        d_inner = mixer.d_inner
+        depth = self.model.depth
+
+        nw = lp["norm"]["weight"][:, None, :]
+        nb = lp["norm"].get("bias")
+        nb = None if nb is None else nb[:, None, :]
+        win = lp["mixer"]["in_proj"]["kernel"]
+        wout = lp["mixer"]["out_proj"]["kernel"]
+        conv_w = lp["mixer"]["conv1d"]["weight"]
+        conv_b = lp["mixer"]["conv1d"].get("bias")
+        conv_b = (
+            jnp.zeros((depth, 1, d_inner), jnp.float32)
+            if conv_b is None else conv_b.astype(jnp.float32)[:, None, :]
+        )
+        wx = lp["mixer"]["x_proj"]["kernel"]           # (K, Di, r+2n)
+        wx_pack = jnp.zeros((depth, d_inner, PACK), wx.dtype)
+        wx_pack = wx_pack.at[:, :, : r + 2 * n].set(wx)
+        wdt = lp["mixer"]["dt_proj"]["kernel"]         # (K, r, Di)
+        wdt_pack = jnp.zeros((depth, PACK, d_inner), wdt.dtype)
+        wdt_pack = wdt_pack.at[:, :r, :].set(wdt)
+        A = -jnp.exp(lp["mixer"]["A_log"].astype(jnp.float32))
+        A = A.swapaxes(1, 2)                           # (K, N, Di)
+        D = lp["mixer"]["D"].astype(jnp.float32)[:, None, :]
+        dt_bias = lp["mixer"]["dt_proj"]["bias"].astype(
+            jnp.float32)[:, None, :]
+        return (nw, nb, win, wout, conv_w, conv_b, wx_pack, wdt_pack, A, D,
+                dt_bias)
+
+    def _build_step_pallas(self):
+        from videomamba_tpu.ops import dispatch
+        from videomamba_tpu.ops.norm import fused_add_norm
+        from videomamba_tpu.ops.pallas.decode_step import decode_stack_pallas
+
+        mixer = self.mixer
+        norm_type = self.norm_type
+        eps = self.eps
+        rif32 = self.residual_in_fp32
+        dt_rank = mixer.dt_rank_
+        interpret = dispatch.interpret_mode() and not dispatch.on_tpu()
+        dtype = self.conv_states.dtype
+
+        def step(params, packs, conv_states, ssm_states, token):
+            hidden, residual, new_conv, new_ssm = decode_stack_pallas(
+                token, *packs, conv_states=conv_states,
+                ssm_states=ssm_states, dt_rank=dt_rank,
+                norm_rms=(norm_type == "rms"), eps=eps,
+                interpret=interpret,
+            )
+            feat = fused_add_norm(
+                hidden.astype(dtype),
+                params["norm"]["weight"], params["norm"].get("bias"),
+                residual=residual, prenorm=False,
+                residual_in_fp32=rif32, eps=eps, norm_type=norm_type,
+            )
+            return feat, new_conv, new_ssm
+
+        return jax.jit(step, donate_argnums=(2, 3))
 
     def _build_step(self):
         mixer = self.mixer
@@ -150,10 +258,16 @@ class DecodeSession:
 
     def step(self, token: Array) -> Array:
         """Advance one token; returns (B, d_model) final-norm features."""
-        feat, self.conv_states, self.ssm_states = self._step(
-            self.model.params, self.stacked, self.conv_states,
-            self.ssm_states, token,
-        )
+        if self.backend == "pallas":
+            feat, self.conv_states, self.ssm_states = self._step(
+                self.model.params, self._packs, self.conv_states,
+                self.ssm_states, token,
+            )
+        else:
+            feat, self.conv_states, self.ssm_states = self._step(
+                self.model.params, self.stacked, self.conv_states,
+                self.ssm_states, token,
+            )
         return feat
 
     def load_streaming_state(self, state) -> None:
@@ -162,12 +276,22 @@ class DecodeSession:
                            (state.values() if isinstance(state, dict) else state)])
         ssms = jnp.stack([jnp.asarray(s[1]) for s in
                           (state.values() if isinstance(state, dict) else state)])
+        if self.backend == "pallas":
+            convs = convs.swapaxes(2, 3)
+            ssms = ssms.swapaxes(2, 3)
         self.conv_states = convs.astype(self.conv_states.dtype)
         self.ssm_states = ssms.astype(self.ssm_states.dtype)
 
 
 def time_fn(fn, *args, warmup: int = 2, iters: int = 10) -> Tuple[float, List[float]]:
-    """(median_seconds, all_times) for fn(*args) with device sync per call."""
+    """(median_seconds, all_times) for fn(*args), synced per call.
+
+    CAUTION: on tunneled device platforms (axon) ``block_until_ready`` can
+    ack dispatch rather than completion, so per-call times here bound the
+    round-trip, not device time. For honest sub-ms numbers use the
+    chain-differenced methodology in bench.py (``_chain_seconds_per_iter``),
+    which syncs via ``jax.device_get`` and cancels the fixed round-trip.
+    """
     for _ in range(warmup):
         out = fn(*args)
         jax.block_until_ready(out)
