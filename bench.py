@@ -597,6 +597,13 @@ def main():
                                          args.quick))
     except Exception as e:
         print(f"# base_decode skipped: {type(e).__name__}: {e}", flush=True)
+    # SSD (Mamba-2) whole-stack decode step, same A/B.
+    try:
+        details.update(bench_decode_step(videomamba_base_m2, "m2_base_decode",
+                                         args.quick))
+    except Exception as e:
+        print(f"# m2_base_decode skipped: {type(e).__name__}: {e}",
+              flush=True)
     # Paired pipelined/non-pipelined train step (interleaved, one session)
     # so the round artifact self-evidences the pipelining claim.
     try:

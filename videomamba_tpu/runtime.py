@@ -108,12 +108,20 @@ class DecodeSession:
         self.ssm_states = jnp.broadcast_to(ssm, (depth,) + ssm.shape)
         self.backend = "pallas" if self._pallas_ok(use_pallas) else "xla"
         if self.backend == "pallas":
-            # Kernel layouts: states time-major-in-lanes (K, B, W, Di) /
-            # (K, B, N, Di); weight packs precomputed once.
+            # Kernel layouts: states with the channel axis in lanes
+            # (K, B, W, C) / (K, B, N, Di); weight packs precomputed once.
             self.conv_states = self.conv_states.swapaxes(2, 3)
-            self.ssm_states = self.ssm_states.swapaxes(2, 3)
-            self._packs = self._build_packs()
-            self._step = self._build_step_pallas()
+            if hasattr(self.mixer, "dt_rank_"):
+                self.ssm_states = self.ssm_states.swapaxes(2, 3)
+                self._packs = self._build_packs()
+                self._step = self._build_step_pallas()
+            else:
+                # SSD state (K, B, H, P, N) -> (K, B, N, H*P) lanes.
+                k, b, h, p, n = self.ssm_states.shape
+                self.ssm_states = self.ssm_states.reshape(
+                    k, b, h * p, n).swapaxes(2, 3)
+                self._packs = self._build_packs_m2()
+                self._step = self._build_step_pallas_m2()
         else:
             self._step = self._build_step()
 
@@ -127,12 +135,11 @@ class DecodeSession:
         mixer = self.mixer
         lp0 = self.stacked["mixer"]
         compatible = (
-            hasattr(mixer, "dt_rank_")                 # Mamba-1 family
-            and "bias" not in lp0["in_proj"]
+            "bias" not in lp0["in_proj"]
             and "bias" not in lp0["out_proj"]
             and self.norm_type in ("rms", "layer")
         )
-        if compatible:
+        if compatible and hasattr(mixer, "dt_rank_"):   # Mamba-1 family
             from videomamba_tpu.ops.pallas.decode_step import (
                 decode_stack_supported,
             )
@@ -140,11 +147,21 @@ class DecodeSession:
             compatible = decode_stack_supported(
                 mixer.d_model, mixer.d_inner, mixer.dt_rank_, mixer.d_state
             )
+        elif compatible:                                 # Mamba-2 (SSD)
+            from videomamba_tpu.ops.pallas.decode_step import (
+                decode_stack_m2_supported,
+            )
+
+            compatible = decode_stack_m2_supported(
+                mixer.d_model, mixer.d_inner, mixer.nheads, mixer.ngroups,
+                mixer.d_state,
+            ) and getattr(mixer, "D_has_hdim", False) is False
         if use_pallas and not compatible:
             raise ValueError(
                 "use_pallas=True but the decode kernel does not support this "
-                "model (needs Mamba-1 mixer, no projection biases, rms/layer "
-                "norm, dt_rank+2*d_state <= 128)."
+                "model (needs bias-free projections, rms/layer norm, and "
+                "either dt_rank+2*d_state <= 128 [Mamba-1] or ngroups == 1 "
+                "with 128-aligned d_inner [Mamba-2])."
             )
         if use_pallas is None and not runnable:
             return False
@@ -184,6 +201,74 @@ class DecodeSession:
             jnp.float32)[:, None, :]
         return (nw, nb, win, wout, conv_w, conv_b, wx_pack, wdt_pack, A, D,
                 dt_bias)
+
+    def _build_packs_m2(self):
+        """Stacked per-layer weights for the SSD decode kernel."""
+        lp = self.stacked
+        mixer = self.mixer
+        depth = self.model.depth
+        d_inner = mixer.d_inner
+        nheads = mixer.nheads
+        hdim = mixer.headdim
+        conv_dim = mixer.conv_dim
+
+        nw = lp["norm"]["weight"][:, None, :]
+        nb = lp["norm"].get("bias")
+        nb = None if nb is None else nb[:, None, :]
+        win = lp["mixer"]["in_proj"]["kernel"]
+        wout = lp["mixer"]["out_proj"]["kernel"]
+        conv_w = lp["mixer"]["conv1d"]["weight"]
+        conv_b = lp["mixer"]["conv1d"].get("bias")
+        conv_b = (
+            jnp.zeros((depth, 1, conv_dim), jnp.float32)
+            if conv_b is None else conv_b.astype(jnp.float32)[:, None, :]
+        )
+        A = -jnp.exp(lp["mixer"]["A_log"].astype(jnp.float32))[:, None, :]
+        D_hp = jnp.repeat(
+            lp["mixer"]["D"].astype(jnp.float32), hdim, axis=1
+        )[:, None, :]                                   # (K, 1, Di)
+        dt_bias = lp["mixer"]["dt_bias"].astype(jnp.float32)[:, None, :]
+        if mixer.rmsnorm:
+            gate_nw = lp["mixer"]["norm"]["weight"].astype(
+                jnp.float32)[:, None, :]
+        else:
+            gate_nw = jnp.ones((depth, 1, d_inner), jnp.float32)
+        return (nw, nb, win, wout, conv_w, conv_b, A, D_hp, dt_bias,
+                gate_nw)
+
+    def _build_step_pallas_m2(self):
+        from videomamba_tpu.ops import dispatch
+        from videomamba_tpu.ops.norm import fused_add_norm
+        from videomamba_tpu.ops.pallas.decode_step import (
+            decode_stack_pallas_m2,
+        )
+
+        mixer = self.mixer
+        norm_type = self.norm_type
+        eps = self.eps
+        rif32 = self.residual_in_fp32
+        interpret = dispatch.interpret_mode() and not dispatch.on_tpu()
+        dtype = self.conv_states.dtype
+        nheads = mixer.nheads
+        rmsnorm_gate = mixer.rmsnorm
+        gate_eps = mixer.norm_epsilon
+
+        def step(params, packs, conv_states, ssm_states, token):
+            hidden, residual, new_conv, new_ssm = decode_stack_pallas_m2(
+                token, *packs, conv_states=conv_states,
+                ssm_states=ssm_states, nheads=nheads,
+                norm_rms=(norm_type == "rms"), rmsnorm_gate=rmsnorm_gate,
+                eps=eps, gate_eps=gate_eps, interpret=interpret,
+            )
+            feat = fused_add_norm(
+                hidden.astype(dtype),
+                params["norm"]["weight"], params["norm"].get("bias"),
+                residual=residual, prenorm=False,
+                residual_in_fp32=rif32, eps=eps, norm_type=norm_type,
+            )
+            return feat, new_conv, new_ssm
+
+        return jax.jit(step, donate_argnums=(2, 3))
 
     def _build_step_pallas(self):
         from videomamba_tpu.ops import dispatch
@@ -278,7 +363,11 @@ class DecodeSession:
                           (state.values() if isinstance(state, dict) else state)])
         if self.backend == "pallas":
             convs = convs.swapaxes(2, 3)
-            ssms = ssms.swapaxes(2, 3)
+            if ssms.ndim == 5:   # SSD (K, B, H, P, N) -> (K, B, N, H*P)
+                k, b, h, p, n = ssms.shape
+                ssms = ssms.reshape(k, b, h * p, n).swapaxes(2, 3)
+            else:
+                ssms = ssms.swapaxes(2, 3)
         self.conv_states = convs.astype(self.conv_states.dtype)
         self.ssm_states = ssms.astype(self.ssm_states.dtype)
 
