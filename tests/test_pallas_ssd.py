@@ -245,6 +245,78 @@ def test_mega_fused_backward_matches_composite(monkeypatch, use_norm,
         assert err <= 2e-5, f"arg {i}: rel err {err:.3e}"
 
 
+@pytest.mark.parametrize("use_norm,use_state", [(True, True), (False, False)])
+def test_merged_backward_matches_perhead(monkeypatch, use_norm, use_state):
+    """The MXU-merged mega-backward (ngroups == 1: per-head decay scales
+    hoisted onto shared operands, state scratch transposed to (N, DI)) must
+    match the per-head kernel <=2e-5 on every cotangent — unaligned L (pad
+    path), with/without norm and streaming state."""
+    monkeypatch.setenv("VIDEOMAMBA_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("VIDEOMAMBA_SSD_BWD", "fused")
+    from videomamba_tpu.ops.pallas.ssd_scan import ssd_mixer_pallas
+
+    H, P, G, N, Q = 4, 8, 1, 8, 16
+    DI = H * P
+    CD = DI + 2 * G * N
+    DPJ = 2 * DI + 2 * G * N + H
+    B, L = 2, 35  # not a multiple of Q
+    k = jax.random.PRNGKey
+    zx = jax.random.normal(k(0), (B, L, DPJ), jnp.float32)
+    A = -jnp.exp(jax.random.normal(k(1), (H,), jnp.float32) * 0.2)
+    cw = jax.random.normal(k(2), (4, CD), jnp.float32) * 0.3
+    cb = jax.random.normal(k(3), (CD,), jnp.float32) * 0.1
+    D = jax.random.normal(k(4), (H,), jnp.float32) * 0.5
+    dtb = jax.random.normal(k(5), (H,), jnp.float32) * 0.1
+    nw = 1.0 + jax.random.normal(k(6), (DI,), jnp.float32) * 0.1
+    h0 = jax.random.normal(k(7), (B, H, P, N), jnp.float32) * 0.2
+    cst = jax.random.normal(k(8), (B, CD, 4), jnp.float32) * 0.2
+
+    def loss(zx, cw, cb, D, dtb, nw, h0, cst, A):
+        y, hl = ssd_mixer_pallas(
+            zx, A, cw, cb, D, dtb,
+            initial_state=h0 if use_state else None,
+            conv_state=cst if use_state else None,
+            norm_weight=nw if use_norm else None,
+            chunk_size=Q, nheads=H, hdim=P, ngroups=G, d_state=N)
+        return jnp.sum(y.astype(jnp.float32) ** 2) * 0.5 + jnp.sum(hl ** 2) * 0.25
+
+    grads = {}
+    for mode in ("1", "0"):
+        monkeypatch.setenv("VIDEOMAMBA_SSD_BWD_MERGED", mode)
+        grads[mode] = jax.grad(loss, argnums=tuple(range(9)))(
+            zx, cw, cb, D, dtb, nw, h0, cst, A)
+    for i, (gm, gp) in enumerate(zip(grads["1"], grads["0"])):
+        scale = float(jnp.max(jnp.abs(gp))) + 1e-30
+        err = float(jnp.max(jnp.abs(gm - gp))) / scale
+        assert err <= 2e-5, f"arg {i}: rel err {err:.3e}"
+
+
+def test_merged_pmixer_backward_matches_perhead(monkeypatch):
+    """Same A/B for the projected-mixer backward (ssd_block.py): the merged
+    scan core composed with the in/out_proj gradient structure."""
+    monkeypatch.setenv("VIDEOMAMBA_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("VIDEOMAMBA_SSD_PMIXER", "1")
+    from videomamba_tpu.models.mamba2 import Mamba2
+
+    m = Mamba2(d_model=128, d_state=8, headdim=8, ngroups=1,
+               chunk_size=16, layer_idx=0)
+    p = m.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 35, 128), jnp.float32)
+
+    def loss(pp, xx):
+        return jnp.sum(m(pp, xx).astype(jnp.float32) ** 2)
+
+    grads = {}
+    for mode in ("1", "0"):
+        monkeypatch.setenv("VIDEOMAMBA_SSD_BWD_MERGED", mode)
+        grads[mode] = jax.grad(loss, argnums=(0, 1))(p, x)
+    for a, b in zip(jax.tree_util.tree_leaves(grads["1"]),
+                    jax.tree_util.tree_leaves(grads["0"])):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-30
+        err = float(jnp.max(jnp.abs(a - b))) / scale
+        assert err <= 2e-5, err
+
+
 def test_mega_fused_backward_bf16_dtypes(monkeypatch):
     """bf16 primals through the mega-fused backward: cotangent dtypes match
     primals (custom_vjp contract) and are finite."""

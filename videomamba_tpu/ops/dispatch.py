@@ -81,6 +81,7 @@ _KERNEL_KNOB_ENVS = (
     "VIDEOMAMBA_BLOCK_BWD",
     "VIDEOMAMBA_NORM_BWD",
     "VIDEOMAMBA_SSD_BWD",
+    "VIDEOMAMBA_SSD_BWD_MERGED",
     "VIDEOMAMBA_SSD_PMIXER",
 )
 
@@ -103,6 +104,20 @@ def ssd_bwd_fused_enabled() -> bool:
     trace time — part of :func:`kernel_knob_fingerprint` for cache safety.
     """
     return os.getenv("VIDEOMAMBA_SSD_BWD", "fused").strip().lower() != "composite"
+
+
+def ssd_bwd_merged_enabled() -> bool:
+    """MXU-merged mega-backward (default, ngroups == 1 only) vs the per-head
+    mega-backward. The merged kernel hoists the per-head decay scales onto
+    shared operands so the state-coupled gradients run as a few big MXU
+    dots — measured 2.84x faster per layer at Base train shapes.
+
+    ``VIDEOMAMBA_SSD_BWD_MERGED=0`` opts out (A/B + fallback). Read at
+    trace time — part of :func:`kernel_knob_fingerprint` for cache safety.
+    """
+    return os.getenv("VIDEOMAMBA_SSD_BWD_MERGED", "1").strip().lower() not in {
+        "0", "false", "off", "no"
+    }
 
 
 def kernel_knob_fingerprint() -> tuple:

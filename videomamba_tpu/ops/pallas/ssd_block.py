@@ -659,7 +659,8 @@ def _ssd_pmixer_bwd_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("nheads", "hdim", "ngroups", "d_state", "chunk_size",
-                     "interpret", "norm_eps", "d_inner", "conv_dim"),
+                     "interpret", "norm_eps", "d_inner", "conv_dim",
+                     "merged"),
 )
 def _ssd_pmixer_bwd_padded(
     xin: Array,      # (B, Lp, D) normed block input
@@ -686,7 +687,23 @@ def _ssd_pmixer_bwd_padded(
     chunk_size: int,
     norm_eps: float = 1e-5,
     interpret: bool = False,
+    merged: Optional[bool] = None,
 ):
+    # ``merged`` is static (part of the jit key): callers inside traced
+    # code resolve the env knob OUTSIDE this function so a knob flip can
+    # never reuse a stale trace. None = resolve here (direct/test callers).
+    if merged is None:
+        from videomamba_tpu.ops.dispatch import ssd_bwd_merged_enabled
+
+        merged = ssd_bwd_merged_enabled()
+    if ngroups == 1 and merged:
+        return _ssd_pmixer_bwd_merged(
+            xin, dt_p, A, cstate, win, wout, convw, convb, yd, hins, dout,
+            dhlast, D, norm_weight, nheads=nheads, hdim=hdim,
+            d_state=d_state, d_inner=d_inner, conv_dim=conv_dim,
+            chunk_size=chunk_size, norm_eps=norm_eps, interpret=interpret,
+        )
+
     bsz, lp, d_model = xin.shape
     q = chunk_size
     nc = lp // q
@@ -803,6 +820,350 @@ def _ssd_pmixer_bwd_padded(
     )(*operands)
     return outs
 
+def _ssd_pmixer_bwd_merged_kernel(
+    xin_ref,      # (1, q, D) normed block input (current chunk)
+    xinprev_ref,  # (1, q, D) previous chunk (conv left context via in_proj)
+    win_ref,      # (D, DPJ)
+    wout_ref,     # (DI, D)
+    cstate_ref,   # (1, W, CD)
+    convw_ref,    # (W, CD)
+    convb_ref,    # (1, CD) f32
+    yd_ref,       # (1, q, DI) pre-gate y checkpoint
+    dout_ref,     # (1, q, D) cotangent of the mixer output
+    scol_ref,     # (1, q, H) f32
+    srow_ref,     # (1, H, q) f32
+    dtcol_ref,    # (1, q, H) f32
+    dtrow_ref,    # (1, H, q) f32
+    slastrow_ref,  # (1, 1, 1, H) f32 last decay logit of this chunk
+    hins_ref,     # (1, 1, N, DI) f32 state ENTERING this chunk, TRANSPOSED
+    dhlast_ref,   # (1, N, DI) f32 (transposed state cotangent)
+    dhp_ref,      # (1, DI) f32: D splat to head lanes (repeat(D, P))
+    onehot_ref,   # (H, DI) f32: repeat(eye(H), P, axis=1) head-expansion
+    *maybe_nw_and_outs,
+    nheads: int,
+    hdim: int,
+    d_state: int,
+    nc: int,
+    highest: bool,
+    has_norm: bool,
+    norm_eps: float,
+    conv_width: int,
+    d_inner: int,
+    conv_dim: int,
+    d_model: int,
+):
+    """MXU-merged projected-mixer backward (the ngroups == 1 fast path).
+
+    Same contract as :func:`_ssd_pmixer_bwd_kernel`; the reverse-chunk scan
+    backward runs through :func:`ssd_scan._merged_scan_bwd_core`, which
+    replaces the per-head small-dot chain with a few big MXU dots (see its
+    docstring). The projection-gradient structure (zx recompute, dWout/dWin
+    accumulators, dnormed emission) is unchanged.
+    """
+    from videomamba_tpu.ops.pallas.ssd_scan import _merged_scan_bwd_core
+
+    it = iter(maybe_nw_and_outs)
+    nw_ref = next(it) if has_norm else None
+    dxin_ref = next(it)     # (1, q, D) dnormed (in-kernel part)
+    dscol_ref = next(it)    # (1, q, H) f32
+    dsrow_ref = next(it)    # (1, H, q) f32
+    ddtpcol_ref = next(it)  # (1, q, H) f32
+    ddtprow_ref = next(it)  # (1, H, q) f32
+    dh0_ref = next(it)      # (1, N, DI) f32 (transposed)
+    dwin_ref = next(it)     # (1, D, DPJ) f32 per-batch partial
+    dwout_ref = next(it)    # (1, DI, D) f32 per-batch partial
+    dcw_ref = next(it)      # (1, W, CD) f32 per-batch partial
+    dcb_ref = next(it)      # (1, 1, CD) f32 per-batch partial
+    ddsk_ref = next(it)     # (1, 1, DI) f32 per-batch partial (D grads)
+    dcst_ref = next(it)     # (1, W, CD) f32 conv-state gradient
+    dnw_ref = next(it) if has_norm else None  # (1, 1, DI) f32
+    g_scr = next(it)        # (N, DI) f32 state cotangent carry (TRANSPOSED)
+    carry_scr = next(it)    # (8, CD) f32 next chunk's head rows of dcpre
+    ddsk_scr = next(it)     # (1, DI) f32
+    dcb_scr = next(it)      # (1, CD) f32
+    dcw_scr = next(it)      # (8, CD) f32 (W rows used)
+    dwin_scr = next(it)     # (D, DPJ) f32
+    dwout_scr = next(it)    # (DI, D) f32
+    dnw_scr = next(it) if has_norm else None  # (1, DI) f32
+
+    c_idx = pl.program_id(1)
+    chunk = nc - 1 - c_idx
+    n = d_state
+    prec = lax.Precision.HIGHEST if highest else None
+    width = conv_width
+    f32 = jnp.float32
+
+    @pl.when(c_idx == 0)
+    def _():
+        g_scr[:] = dhlast_ref[0]
+        carry_scr[:] = jnp.zeros_like(carry_scr)
+        ddsk_scr[:] = jnp.zeros_like(ddsk_scr)
+        dcb_scr[:] = jnp.zeros_like(dcb_scr)
+        dcw_scr[:] = jnp.zeros_like(dcw_scr)
+        dwin_scr[:] = jnp.zeros_like(dwin_scr)
+        dwout_scr[:] = jnp.zeros_like(dwout_scr)
+        if has_norm:
+            dnw_scr[:] = jnp.zeros_like(dnw_scr)
+
+    xin = xin_ref[0]                        # (q, D)
+    q = xin.shape[0]
+    cdt = xin.dtype
+
+    # ---- 1. zx recompute (MXU) + conv/SiLU recompute (identical to the
+    # per-head kernel).
+    zx = lax.dot(xin, win_ref[:], precision=prec,
+                 preferred_element_type=f32).astype(cdt)
+    raw = zx[:, d_inner:d_inner + conv_dim].astype(f32)
+    prev_tail_in = xinprev_ref[0][q - (width - 1):, :]
+    prev_raw = lax.dot(
+        prev_tail_in, win_ref[:, d_inner:d_inner + conv_dim],
+        precision=prec, preferred_element_type=f32,
+    ).astype(cdt).astype(f32)
+    state_tail = cstate_ref[0][1:, :].astype(f32)
+    left = jnp.where(chunk == 0, state_tail, prev_raw)
+    ctx = jnp.concatenate([left, raw], axis=0)
+    cw_taps = convw_ref[:].astype(f32)
+    cy_pre = cw_taps[width - 1][None, :] * raw
+    for k in range(width - 1):
+        cy_pre = cy_pre + cw_taps[k][None, :] * ctx[k:k + q]
+    cy_pre = cy_pre + convb_ref[:].astype(f32)
+    sig_c = jax.nn.sigmoid(cy_pre)
+    xbc = cy_pre * sig_c
+    x = xbc[:, :d_inner].astype(cdt)
+    x_f = xbc[:, :d_inner]
+    bmat = xbc[:, d_inner:d_inner + n].astype(cdt)
+    cmat = xbc[:, d_inner + n:].astype(cdt)
+
+    # ---- 2. gate/RMSNorm recompute -> dWout and dgated (MXU).
+    z_val = zx[:, :d_inner].astype(f32)
+    yd = yd_ref[0].astype(f32)
+    sig_z = jax.nn.sigmoid(z_val)
+    silu_z = z_val * sig_z
+    gate = yd * silu_z
+    dout = dout_ref[0]
+    wg = f32 if highest else cdt
+    if has_norm:
+        var = jnp.mean(jnp.square(gate), axis=1, keepdims=True)
+        r = lax.rsqrt(var + norm_eps)
+        xn = gate * r
+        gated = xn * nw_ref[:].astype(f32)
+    else:
+        gated = gate
+    dwout_scr[:] += lax.dot_general(
+        gated.astype(wg), dout.astype(wg), (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    dgated = lax.dot_general(
+        dout.astype(cdt), wout_ref[:], (((1,), (1,)), ((), ())),
+        precision=prec, preferred_element_type=f32,
+    )                                       # (q, DI) f32
+
+    # ---- 3. epilogue backward at the stored pre-gate y.
+    if has_norm:
+        dnw_scr[:] += jnp.sum(dgated * xn, axis=0, keepdims=True)
+        dxn = dgated * nw_ref[:].astype(f32)
+        dot_row = jnp.sum(dxn * gate, axis=1, keepdims=True)
+        dgate = dxn * r - gate * (r * r * r / d_inner) * dot_row
+    else:
+        dgate = dgated
+    dyd = dgate * silu_z
+    dz = dgate * yd * (sig_z * (1.0 + z_val * (1.0 - sig_z)))
+
+    # ---- 4. D-skip.
+    ddsk_scr[:] += jnp.sum(dyd * x_f, axis=0, keepdims=True)
+
+    # ---- 5. MXU-merged reverse-chunk scan backward (shared core).
+    dxbc = _merged_scan_bwd_core(
+        x=x, x_f=x_f, bmat=bmat, cmat=cmat, dyd=dyd,
+        scol=scol_ref[0], srow=srow_ref[0], dtcol=dtcol_ref[0],
+        dtrow=dtrow_ref[0], slast_row=slastrow_ref[0, 0],
+        hinT=hins_ref[0, 0], onehot=onehot_ref[:], dhp=dhp_ref[:],
+        g_scr=g_scr, dscol_ref=dscol_ref, dsrow_ref=dsrow_ref,
+        ddtpcol_ref=ddtpcol_ref, ddtprow_ref=ddtprow_ref, dh0_ref=dh0_ref,
+        nheads=nheads, hdim=hdim, prec=prec, cdt=cdt,
+    )
+
+    # ---- 6. conv backward through SiLU to the raw [x B C] slab.
+    dcpre = dxbc * (sig_c * (1.0 + cy_pre * (1.0 - sig_c)))
+    dcb_scr[:] += jnp.sum(dcpre, axis=0, keepdims=True)
+    for k in range(width):
+        dcw_scr[k, :] += jnp.sum(dcpre * ctx[k:k + q], axis=0)
+
+    dcpre_ext = jnp.concatenate([dcpre, carry_scr[:width - 1]], axis=0)
+    draw = cw_taps[width - 1][None, :] * dcpre
+    for m2 in range(1, width):
+        draw = draw + cw_taps[width - 1 - m2][None, :] * dcpre_ext[
+            m2:m2 + q]
+    carry_scr[:width - 1] = dcpre[:width - 1]
+
+    @pl.when(chunk == 0)
+    def _():
+        dcst_ref[0] = jnp.zeros_like(dcst_ref[0])
+        for rr in range(width - 1):
+            acc = jnp.zeros((conv_dim,), f32)
+            for k in range(width):
+                t = rr - k
+                if 0 <= t < width - 1:
+                    acc = acc + cw_taps[k] * dcpre[t]
+            dcst_ref[0, rr + 1] = acc
+
+    # ---- 7. dzx -> in_proj gradient + dnormed (MXU).
+    dzx = jnp.concatenate(
+        [dz, draw,
+         jnp.zeros((q, win_ref.shape[1] - d_inner - conv_dim), f32)],
+        axis=1,
+    )                                       # (q, DPJ) f32; dt lanes outside
+    dzx_c = dzx.astype(cdt)
+    dxin_ref[0] = lax.dot_general(
+        dzx_c, win_ref[:], (((1,), (1,)), ((), ())),
+        precision=prec, preferred_element_type=f32,
+    ).astype(dxin_ref.dtype)
+    dwin_scr[:] += lax.dot_general(
+        xin.astype(wg), dzx.astype(wg), (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+
+    @pl.when(c_idx == nc - 1)
+    def _():
+        dwin_ref[0] = dwin_scr[:]
+        dwout_ref[0] = dwout_scr[:]
+        dcw_ref[0] = dcw_scr[:width]
+        dcb_ref[0, 0] = dcb_scr[0]
+        ddsk_ref[0, 0] = ddsk_scr[0]
+        if has_norm:
+            dnw_ref[0, 0] = dnw_scr[0]
+
+
+def _ssd_pmixer_bwd_merged(
+    xin, dt_p, A, cstate, win, wout, convw, convb, yd, hins, dout, dhlast,
+    D, norm_weight, *, nheads, hdim, d_state, d_inner, conv_dim,
+    chunk_size, norm_eps, interpret,
+):
+    """pallas_call wrapper for the merged projected-mixer backward
+    (ngroups == 1). Same operand/output contract as the per-head path in
+    :func:`_ssd_pmixer_bwd_padded`; state tensors are transposed to the
+    (N, DI) layout at the XLA level (cheap relayouts of small tensors)."""
+    bsz, lp, d_model = xin.shape
+    q = chunk_size
+    nc = lp // q
+    width = convw.shape[0]
+    has_norm = norm_weight is not None
+    dpj = win.shape[1]
+
+    s, srow, dtrow, _ = _decay_tensors(dt_p, A, nc, q, nheads)
+    s_last = s.reshape(bsz, nc, q, nheads)[:, :, -1:, :]  # (B, nc, 1, H)
+    hinsT = hins.swapaxes(2, 3)                           # (B, nc, N, DI)
+    dhlT = dhlast.swapaxes(1, 2)                          # (B, N, DI)
+    d_hp = jnp.repeat(D.astype(jnp.float32), hdim)[None, :]   # (1, DI)
+    onehot = jnp.repeat(jnp.eye(nheads, dtype=jnp.float32), hdim, axis=1)
+
+    rblk = lambda b, c: (b, nc - 1 - c, 0)
+    rprev = lambda b, c: (b, jnp.maximum(nc - 1 - c - 1, 0), 0)
+    rrow = lambda b, c: (b, 0, nc - 1 - c)
+    rchunk = lambda b, c: (b, nc - 1 - c, 0, 0)
+    fixed = lambda b, c: (b, 0, 0)
+    fixed2 = lambda b, c: (0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, q, d_model), rblk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, q, d_model), rprev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((d_model, dpj), fixed2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((d_inner, d_model), fixed2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, width, conv_dim), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((width, conv_dim), fixed2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, conv_dim), fixed2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, q, d_inner), rblk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, q, d_model), rblk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, q, nheads), rblk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nheads, q), rrow, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, q, nheads), rblk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nheads, q), rrow, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, nheads), rchunk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, d_state, d_inner), rchunk,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d_state, d_inner), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d_inner), fixed2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((nheads, d_inner), fixed2, memory_space=pltpu.VMEM),
+    ]
+    operands = [xin, xin, win, wout, cstate, convw, convb, yd, dout, s,
+                srow, dt_p, dtrow, s_last, hinsT, dhlT, d_hp, onehot]
+    if has_norm:
+        in_specs.append(
+            pl.BlockSpec((1, d_inner), fixed2, memory_space=pltpu.VMEM)
+        )
+        operands.append(norm_weight)
+
+    out_specs = [
+        pl.BlockSpec((1, q, d_model), rblk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, q, nheads), rblk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nheads, q), rrow, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, q, nheads), rblk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nheads, q), rrow, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d_state, d_inner), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d_model, dpj), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d_inner, d_model), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, width, conv_dim), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, conv_dim), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, d_inner), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, width, conv_dim), fixed, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bsz, lp, d_model), xin.dtype),       # dxin
+        jax.ShapeDtypeStruct((bsz, lp, nheads), jnp.float32),      # dscol
+        jax.ShapeDtypeStruct((bsz, nheads, lp), jnp.float32),      # dsrow
+        jax.ShapeDtypeStruct((bsz, lp, nheads), jnp.float32),      # ddtpcol
+        jax.ShapeDtypeStruct((bsz, nheads, lp), jnp.float32),      # ddtprow
+        jax.ShapeDtypeStruct((bsz, d_state, d_inner), jnp.float32),  # dh0T
+        jax.ShapeDtypeStruct((bsz, d_model, dpj), jnp.float32),    # dWin
+        jax.ShapeDtypeStruct((bsz, d_inner, d_model), jnp.float32),  # dWout
+        jax.ShapeDtypeStruct((bsz, width, conv_dim), jnp.float32),  # dcw
+        jax.ShapeDtypeStruct((bsz, 1, conv_dim), jnp.float32),     # dcb
+        jax.ShapeDtypeStruct((bsz, 1, d_inner), jnp.float32),      # dD cols
+        jax.ShapeDtypeStruct((bsz, width, conv_dim), jnp.float32),  # dcst
+    ]
+    if has_norm:
+        out_specs.append(
+            pl.BlockSpec((1, 1, d_inner), fixed, memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((bsz, 1, d_inner), jnp.float32)   # dnw
+        )
+
+    scratch = [
+        pltpu.VMEM((d_state, d_inner), jnp.float32),   # g (TRANSPOSED)
+        pltpu.VMEM((8, conv_dim), jnp.float32),        # dcpre head carry
+        pltpu.VMEM((1, d_inner), jnp.float32),         # dD acc
+        pltpu.VMEM((1, conv_dim), jnp.float32),        # dcb acc
+        pltpu.VMEM((8, conv_dim), jnp.float32),        # dcw acc
+        pltpu.VMEM((d_model, dpj), jnp.float32),       # dWin acc
+        pltpu.VMEM((d_inner, d_model), jnp.float32),   # dWout acc
+    ]
+    if has_norm:
+        scratch.append(pltpu.VMEM((1, d_inner), jnp.float32))  # dnw acc
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _ssd_pmixer_bwd_merged_kernel, nheads=nheads, hdim=hdim,
+            d_state=d_state, nc=nc, highest=(xin.dtype == jnp.float32),
+            has_norm=has_norm, norm_eps=norm_eps, conv_width=width,
+            d_inner=d_inner, conv_dim=conv_dim, d_model=d_model,
+        ),
+        grid=(bsz, nc),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*operands)
+    outs = list(outs)
+    outs[5] = outs[5].swapaxes(1, 2)  # dh0: (B, N, DI) -> (B, DI, N)
+    return tuple(outs)
+
+
 def _pmixer_fwd_impl(xin, dt_p, A, cstate, win, wout, convw, convb, h0, D,
                      nw, cfg, interpret):
     (nheads, hdim, ngroups, n, d_inner, conv_dim, chunk_size,
@@ -867,6 +1228,7 @@ def _pmixer_vjp_fwd(xin, dt_p, A, cstate, win, wout, convw, convb, h0, D,
 
 
 def _pmixer_vjp_bwd(cfg, interpret, res, cts):
+    from videomamba_tpu.ops.dispatch import ssd_bwd_merged_enabled
     from videomamba_tpu.ops.pallas.ssd_scan import _decay_chain_grads
 
     (xin, dtf, A, cstate, win, wout, convw, convb, h0, D, nw, hins,
@@ -897,6 +1259,7 @@ def _pmixer_vjp_bwd(cfg, interpret, res, cts):
         nheads=nheads, hdim=hdim, ngroups=ngroups, d_state=n,
         d_inner=d_inner, conv_dim=conv_dim, chunk_size=q,
         norm_eps=float(norm_eps), interpret=interpret,
+        merged=ssd_bwd_merged_enabled(),
     )
     (dxf, ds_col, ds_row, ddtp_col, ddtp_row, dh0f, dwin_b, dwout_b,
      dcw_b, dcb_b, ddsk_b, dcst_b) = outs[:12]
