@@ -291,6 +291,122 @@ def test_merged_backward_matches_perhead(monkeypatch, use_norm, use_state):
         assert err <= 2e-5, f"arg {i}: rel err {err:.3e}"
 
 
+def test_merged_forward_matches_perhead(monkeypatch):
+    """The MXU-merged forward walk (ngroups == 1) must match the per-head
+    forward on y and hlast, with streaming state and norm."""
+    monkeypatch.setenv("VIDEOMAMBA_PALLAS_INTERPRET", "1")
+    from videomamba_tpu.ops.pallas.ssd_scan import ssd_mixer_pallas
+
+    H, P, G, N, Q = 4, 8, 1, 8, 16
+    DI = H * P
+    CD = DI + 2 * G * N
+    DPJ = 2 * DI + 2 * G * N + H
+    k = jax.random.PRNGKey
+    zx = jax.random.normal(k(0), (2, 35, DPJ), jnp.float32)
+    A = -jnp.exp(jax.random.normal(k(1), (H,), jnp.float32) * 0.2)
+    cw = jax.random.normal(k(2), (4, CD), jnp.float32) * 0.3
+    cb = jax.random.normal(k(3), (CD,), jnp.float32) * 0.1
+    D = jax.random.normal(k(4), (H,), jnp.float32) * 0.5
+    dtb = jax.random.normal(k(5), (H,), jnp.float32) * 0.1
+    nw = 1.0 + jax.random.normal(k(6), (DI,), jnp.float32) * 0.1
+    h0 = jax.random.normal(k(7), (2, H, P, N), jnp.float32) * 0.2
+    cst = jax.random.normal(k(8), (2, CD, 4), jnp.float32) * 0.2
+
+    outs = {}
+    for mode in ("1", "0"):
+        monkeypatch.setenv("VIDEOMAMBA_SSD_FWD_MERGED", mode)
+        outs[mode] = ssd_mixer_pallas(
+            zx, A, cw, cb, D, dtb, initial_state=h0, conv_state=cst,
+            norm_weight=nw, chunk_size=Q, nheads=H, hdim=P, ngroups=G,
+            d_state=N)
+    for name, a, b in (("y", outs["1"][0], outs["0"][0]),
+                       ("hlast", outs["1"][1], outs["0"][1])):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-30
+        err = float(jnp.max(jnp.abs(a - b))) / scale
+        assert err <= 2e-5, f"{name}: rel err {err:.3e}"
+
+
+@pytest.mark.parametrize("fwd,bwd_merged,bwd_mode", [
+    ("1", "1", "fused"),       # both merged (default): zero hins relayouts
+    ("1", "0", "fused"),       # merged fwd feeding the PER-HEAD mega-bwd
+    ("0", "1", "fused"),       # per-head fwd feeding the merged bwd
+    ("1", "1", "composite"),   # merged fwd feeding the composite bwd
+])
+def test_merged_fwd_bwd_combinations(monkeypatch, fwd, bwd_merged,
+                                     bwd_mode):
+    """Every fwd/bwd kernel combination must agree with the all-per-head
+    baseline <=2e-5 — this pins the hins residual-layout plumbing (the
+    merged forward emits transposed (B, nc, N, DI) checkpoints)."""
+    monkeypatch.setenv("VIDEOMAMBA_PALLAS_INTERPRET", "1")
+    from videomamba_tpu.ops.pallas.ssd_scan import ssd_mixer_pallas
+
+    H, P, G, N, Q = 4, 8, 1, 8, 16
+    DI = H * P
+    CD = DI + 2 * G * N
+    DPJ = 2 * DI + 2 * G * N + H
+    k = jax.random.PRNGKey
+    zx = jax.random.normal(k(0), (2, 35, DPJ), jnp.float32)
+    A = -jnp.exp(jax.random.normal(k(1), (H,), jnp.float32) * 0.2)
+    cw = jax.random.normal(k(2), (4, CD), jnp.float32) * 0.3
+    cb = jax.random.normal(k(3), (CD,), jnp.float32) * 0.1
+    D = jax.random.normal(k(4), (H,), jnp.float32) * 0.5
+    dtb = jax.random.normal(k(5), (H,), jnp.float32) * 0.1
+    nw = 1.0 + jax.random.normal(k(6), (DI,), jnp.float32) * 0.1
+    h0 = jax.random.normal(k(7), (2, H, P, N), jnp.float32) * 0.2
+    cst = jax.random.normal(k(8), (2, CD, 4), jnp.float32) * 0.2
+
+    def loss(zx, cw, cb, D, dtb, nw, h0, cst, A):
+        y, hl = ssd_mixer_pallas(
+            zx, A, cw, cb, D, dtb, initial_state=h0, conv_state=cst,
+            norm_weight=nw, chunk_size=Q, nheads=H, hdim=P, ngroups=G,
+            d_state=N)
+        return jnp.sum(y.astype(jnp.float32) ** 2) * 0.5 + jnp.sum(hl ** 2) * 0.25
+
+    def grads_at(fwd_, bwd_merged_, bwd_mode_):
+        monkeypatch.setenv("VIDEOMAMBA_SSD_FWD_MERGED", fwd_)
+        monkeypatch.setenv("VIDEOMAMBA_SSD_BWD_MERGED", bwd_merged_)
+        monkeypatch.setenv("VIDEOMAMBA_SSD_BWD", bwd_mode_)
+        return jax.grad(loss, argnums=tuple(range(9)))(
+            zx, cw, cb, D, dtb, nw, h0, cst, A)
+
+    base = grads_at("0", "0", "fused")
+    got = grads_at(fwd, bwd_merged, bwd_mode)
+    for i, (ga, gb) in enumerate(zip(got, base)):
+        scale = float(jnp.max(jnp.abs(gb))) + 1e-30
+        err = float(jnp.max(jnp.abs(ga - gb))) / scale
+        assert err <= 2e-5, f"arg {i}: rel err {err:.3e}"
+
+
+def test_merged_pmixer_forward_and_grads(monkeypatch):
+    """Projected-mixer route: merged fwd+bwd (default) vs all-per-head on
+    output and every gradient (ngroups == 1)."""
+    monkeypatch.setenv("VIDEOMAMBA_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("VIDEOMAMBA_SSD_PMIXER", "1")
+    from videomamba_tpu.models.mamba2 import Mamba2
+
+    m = Mamba2(d_model=128, d_state=8, headdim=8, ngroups=1,
+               chunk_size=16, layer_idx=0)
+    p = m.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 35, 128), jnp.float32)
+
+    def loss(pp, xx):
+        return jnp.sum(m(pp, xx).astype(jnp.float32) ** 2)
+
+    res = {}
+    for mode in ("1", "0"):
+        monkeypatch.setenv("VIDEOMAMBA_SSD_FWD_MERGED", mode)
+        monkeypatch.setenv("VIDEOMAMBA_SSD_BWD_MERGED", mode)
+        res[mode] = (m(p, x), jax.grad(loss, argnums=(0, 1))(p, x))
+    ya, yb = res["1"][0], res["0"][0]
+    err = float(jnp.max(jnp.abs(ya - yb))) / (float(jnp.max(jnp.abs(yb))) + 1e-30)
+    assert err <= 2e-5, f"y: {err:.3e}"
+    for a, b in zip(jax.tree_util.tree_leaves(res["1"][1]),
+                    jax.tree_util.tree_leaves(res["0"][1])):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-30
+        err = float(jnp.max(jnp.abs(a - b))) / scale
+        assert err <= 2e-5, err
+
+
 def test_merged_pmixer_backward_matches_perhead(monkeypatch):
     """Same A/B for the projected-mixer backward (ssd_block.py): the merged
     scan core composed with the in/out_proj gradient structure."""

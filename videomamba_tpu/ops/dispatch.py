@@ -82,6 +82,7 @@ _KERNEL_KNOB_ENVS = (
     "VIDEOMAMBA_NORM_BWD",
     "VIDEOMAMBA_SSD_BWD",
     "VIDEOMAMBA_SSD_BWD_MERGED",
+    "VIDEOMAMBA_SSD_FWD_MERGED",
     "VIDEOMAMBA_SSD_PMIXER",
 )
 
@@ -116,6 +117,23 @@ def ssd_bwd_merged_enabled() -> bool:
     trace time — part of :func:`kernel_knob_fingerprint` for cache safety.
     """
     return os.getenv("VIDEOMAMBA_SSD_BWD_MERGED", "1").strip().lower() not in {
+        "0", "false", "off", "no"
+    }
+
+
+def ssd_fwd_merged_enabled() -> bool:
+    """MXU-merged mixer forward (default, ngroups == 1 only) vs the
+    per-head forward walk. Same merge as the backward: the inter-chunk y
+    and state-update dots run over all heads at once against a transposed
+    (N, DI) state. When this knob is on, training residual ``hins``
+    checkpoints are emitted in the transposed layout (consumed natively by
+    the merged backward; the per-head/composite backwards transpose once
+    in XLA).
+
+    ``VIDEOMAMBA_SSD_FWD_MERGED=0`` opts out. Read at trace time — part of
+    :func:`kernel_knob_fingerprint` for cache safety.
+    """
+    return os.getenv("VIDEOMAMBA_SSD_FWD_MERGED", "1").strip().lower() not in {
         "0", "false", "off", "no"
     }
 

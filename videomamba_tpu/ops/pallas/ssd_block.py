@@ -226,11 +226,216 @@ def _ssd_pmixer_kernel(
     out_ref[0] = out.astype(out_ref.dtype)
     hlast_ref[0] = h_scr[:]
 
+def _ssd_pmixer_fwd_merged_kernel(
+    xin_ref,      # (1, q, D) normed block input
+    win_ref,      # (D, DPJ)
+    wout_ref,     # (DI, D)
+    cstate_ref,   # (1, W, CD)
+    convw_ref,    # (W, CD)
+    convb_ref,    # (1, CD) f32
+    scol_ref,     # (1, q, H) f32
+    srow_ref,     # (1, H, q) f32
+    dtcol_ref,    # (1, q, H) f32
+    dtrow_ref,    # (1, H, q) f32
+    slastrow_ref,  # (1, 1, 1, H) f32
+    h0_ref,       # (1, N, DI) f32 TRANSPOSED initial state
+    dhp_ref,      # (1, DI) f32: D splat to head lanes
+    onehot_ref,   # (H, DI) f32 head-expansion
+    *maybe_nw_and_outs,
+    nheads: int,
+    hdim: int,
+    d_state: int,
+    highest: bool,
+    has_norm: bool,
+    norm_eps: float,
+    conv_width: int,
+    d_inner: int,
+    conv_dim: int,
+    d_model: int,
+    checkpoints: bool,
+):
+    """MXU-merged projected-mixer forward (ngroups == 1): in_proj, conv +
+    SiLU, the merged chunk walk (ssd_scan._merged_scan_fwd_core), gate
+    (+RMSNorm), out_proj — same contract as :func:`_ssd_pmixer_kernel`
+    except the state (h0/hlast/hins) is TRANSPOSED (N, DI)."""
+    from videomamba_tpu.ops.pallas.ssd_scan import _merged_scan_fwd_core
+
+    it = iter(maybe_nw_and_outs)
+    nw_ref = next(it) if has_norm else None
+    out_ref = next(it)      # (1, q, D)
+    hlast_ref = next(it)    # (1, N, DI) f32 (transposed)
+    hins_ref = next(it) if checkpoints else None  # (1, 1, N, DI)
+    yd_ref = next(it) if checkpoints else None    # (1, q, DI)
+    hT_scr = next(it)       # (N, DI) f32
+    xtail_scr = next(it)    # (W-1, CD) f32 raw conv tail
+
+    c_idx = pl.program_id(1)
+    prec = lax.Precision.HIGHEST if highest else None
+    width = conv_width
+    f32 = jnp.float32
+
+    @pl.when(c_idx == 0)
+    def _():
+        hT_scr[:] = h0_ref[0]
+
+    if checkpoints:
+        hins_ref[0, 0] = hT_scr[:]
+
+    xin = xin_ref[0]                        # (q, D)
+    q = xin.shape[0]
+    cdt = xin.dtype
+
+    # ---- in_proj (MXU) + conv/SiLU (identical to the per-head kernel).
+    zx = lax.dot(xin, win_ref[:], precision=prec,
+                 preferred_element_type=f32).astype(cdt)
+    z_val = zx[:, :d_inner]
+    raw = zx[:, d_inner:d_inner + conv_dim].astype(f32)
+    state_tail = cstate_ref[0][1:, :].astype(f32)
+    left = jnp.where(c_idx == 0, state_tail, xtail_scr[:])
+    ctx = jnp.concatenate([left, raw], axis=0)
+    xtail_scr[:] = raw[q - (width - 1):]
+    cw_taps = convw_ref[:].astype(f32)
+    cy = cw_taps[width - 1][None, :] * raw
+    for k in range(width - 1):
+        cy = cy + cw_taps[k][None, :] * ctx[k:k + q]
+    cy = cy + convb_ref[:].astype(f32)
+    cy = cy * jax.nn.sigmoid(cy)
+    n = d_state
+    x_f = cy[:, :d_inner]
+    x = x_f.astype(cdt)
+    bmat = cy[:, d_inner:d_inner + n].astype(cdt)
+    cmat = cy[:, d_inner + n:].astype(cdt)
+
+    # ---- MXU-merged chunk walk (shared core) + D-skip.
+    yd = _merged_scan_fwd_core(
+        x=x, x_f=x_f, bmat=bmat, cmat=cmat, scol=scol_ref[0],
+        srow=srow_ref[0], dtcol=dtcol_ref[0], dtrow=dtrow_ref[0],
+        slast_row=slastrow_ref[0, 0], hT_scr=hT_scr, onehot=onehot_ref[:],
+        dhp=dhp_ref[:], nheads=nheads, hdim=hdim, prec=prec, cdt=cdt,
+    )
+
+    # ---- epilogue + out_proj (MXU).
+    if checkpoints:
+        yd_ref[0] = yd.astype(yd_ref.dtype)
+    gated = yd * jax.nn.silu(z_val.astype(f32))
+    if has_norm:
+        var = jnp.mean(jnp.square(gated), axis=1, keepdims=True)
+        gated = gated * lax.rsqrt(var + norm_eps) * nw_ref[:].astype(f32)
+    out = lax.dot(gated.astype(cdt), wout_ref[:], precision=prec,
+                  preferred_element_type=f32)
+    out_ref[0] = out.astype(out_ref.dtype)
+    hlast_ref[0] = hT_scr[:]
+
+
+def _ssd_pmixer_fwd_merged(
+    xin, dt_p, A, cstate, win, wout, convw, convb, h0, D, norm_weight, *,
+    nheads, hdim, d_state, d_inner, conv_dim, chunk_size, norm_eps,
+    interpret, checkpoints,
+):
+    """pallas_call wrapper for the merged projected-mixer forward
+    (ngroups == 1). Same contract as the per-head path inside
+    :func:`_ssd_pmixer_fwd_padded` EXCEPT the hins checkpoint comes out
+    TRANSPOSED (B, nc, N, DI) — the merged backward's native layout.
+    hlast is transposed back to (B, DI, N) in XLA."""
+    bsz, lp, d_model = xin.shape
+    q = chunk_size
+    nc = lp // q
+    width = convw.shape[0]
+    has_norm = norm_weight is not None
+    dpj = win.shape[1]
+
+    s, srow, dtrow, _ = _decay_tensors(dt_p, A, nc, q, nheads)
+    s_last = s.reshape(bsz, nc, q, nheads)[:, :, -1:, :]  # (B, nc, 1, H)
+    h0T = h0.swapaxes(1, 2)                               # (B, N, DI)
+    d_hp = jnp.repeat(D.astype(jnp.float32), hdim)[None, :]
+    onehot = jnp.repeat(jnp.eye(nheads, dtype=jnp.float32), hdim, axis=1)
+
+    blk = lambda b, c: (b, c, 0)
+    fixed = lambda b, c: (b, 0, 0)
+    row = lambda b, c: (b, 0, c)
+    chunk4 = lambda b, c: (b, c, 0, 0)
+    fixed2 = lambda b, c: (0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, q, d_model), blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((d_model, dpj), fixed2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((d_inner, d_model), fixed2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, width, conv_dim), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((width, conv_dim), fixed2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, conv_dim), fixed2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, q, nheads), blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nheads, q), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, q, nheads), blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nheads, q), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, nheads), chunk4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d_state, d_inner), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d_inner), fixed2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((nheads, d_inner), fixed2, memory_space=pltpu.VMEM),
+    ]
+    operands = [xin, win, wout, cstate, convw, convb, s, srow, dt_p,
+                dtrow, s_last, h0T, d_hp, onehot]
+    if has_norm:
+        in_specs.append(
+            pl.BlockSpec((1, d_inner), fixed2, memory_space=pltpu.VMEM)
+        )
+        operands.append(norm_weight)
+
+    out_specs = [
+        pl.BlockSpec((1, q, d_model), blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d_state, d_inner), fixed, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bsz, lp, d_model), xin.dtype),
+        jax.ShapeDtypeStruct((bsz, d_state, d_inner), jnp.float32),
+    ]
+    if checkpoints:
+        out_specs.append(
+            pl.BlockSpec((1, 1, d_state, d_inner), chunk4,
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((bsz, nc, d_state, d_inner), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec((1, q, d_inner), blk, memory_space=pltpu.VMEM)
+        )
+        # Pre-gate y checkpoint in the compute dtype (see ssd_scan).
+        out_shape.append(
+            jax.ShapeDtypeStruct((bsz, lp, d_inner), xin.dtype)
+        )
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _ssd_pmixer_fwd_merged_kernel, nheads=nheads, hdim=hdim,
+            d_state=d_state, highest=(xin.dtype == jnp.float32),
+            has_norm=has_norm, norm_eps=norm_eps, conv_width=width,
+            d_inner=d_inner, conv_dim=conv_dim, d_model=d_model,
+            checkpoints=checkpoints,
+        ),
+        grid=(bsz, nc),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((d_state, d_inner), jnp.float32),   # hT (TRANSPOSED)
+            pltpu.VMEM((width - 1, conv_dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*operands)
+    outs = list(outs)
+    outs[1] = outs[1].swapaxes(1, 2)  # hlast: (B, N, DI) -> (B, DI, N)
+    return tuple(outs)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("nheads", "hdim", "ngroups", "d_state", "chunk_size",
                      "interpret", "norm_eps", "d_inner", "conv_dim",
-                     "checkpoints"),
+                     "checkpoints", "merged"),
 )
 def _ssd_pmixer_fwd_padded(
     xin: Array,      # (B, Lp, D) normed block input, Lp % q == 0
@@ -255,7 +460,22 @@ def _ssd_pmixer_fwd_padded(
     norm_eps: float = 1e-5,
     interpret: bool = False,
     checkpoints: bool = False,
+    merged: Optional[bool] = None,
 ):
+    # ``merged`` is static (part of the jit key); see _ssd_pmixer_bwd_padded.
+    # The merged path's hins checkpoint output is TRANSPOSED (B, nc, N, DI).
+    if merged is None:
+        from videomamba_tpu.ops.dispatch import ssd_fwd_merged_enabled
+
+        merged = ssd_fwd_merged_enabled()
+    if ngroups == 1 and merged:
+        return _ssd_pmixer_fwd_merged(
+            xin, dt_p, A, cstate, win, wout, convw, convb, h0, D,
+            norm_weight, nheads=nheads, hdim=hdim, d_state=d_state,
+            d_inner=d_inner, conv_dim=conv_dim, chunk_size=chunk_size,
+            norm_eps=norm_eps, interpret=interpret, checkpoints=checkpoints,
+        )
+
     bsz, lp, d_model = xin.shape
     q = chunk_size
     nc = lp // q
@@ -660,7 +880,7 @@ def _ssd_pmixer_bwd_kernel(
     jax.jit,
     static_argnames=("nheads", "hdim", "ngroups", "d_state", "chunk_size",
                      "interpret", "norm_eps", "d_inner", "conv_dim",
-                     "merged"),
+                     "merged", "hins_transposed"),
 )
 def _ssd_pmixer_bwd_padded(
     xin: Array,      # (B, Lp, D) normed block input
@@ -688,10 +908,12 @@ def _ssd_pmixer_bwd_padded(
     norm_eps: float = 1e-5,
     interpret: bool = False,
     merged: Optional[bool] = None,
+    hins_transposed: bool = False,
 ):
     # ``merged`` is static (part of the jit key): callers inside traced
     # code resolve the env knob OUTSIDE this function so a knob flip can
     # never reuse a stale trace. None = resolve here (direct/test callers).
+    # ``hins_transposed``: the merged FORWARD emits hins as (B, nc, N, DI).
     if merged is None:
         from videomamba_tpu.ops.dispatch import ssd_bwd_merged_enabled
 
@@ -702,7 +924,10 @@ def _ssd_pmixer_bwd_padded(
             dhlast, D, norm_weight, nheads=nheads, hdim=hdim,
             d_state=d_state, d_inner=d_inner, conv_dim=conv_dim,
             chunk_size=chunk_size, norm_eps=norm_eps, interpret=interpret,
+            hins_transposed=hins_transposed,
         )
+    if hins_transposed:
+        hins = hins.swapaxes(2, 3)  # back to the per-head (B, nc, DI, N)
 
     bsz, lp, d_model = xin.shape
     q = chunk_size
@@ -1037,7 +1262,7 @@ def _ssd_pmixer_bwd_merged_kernel(
 def _ssd_pmixer_bwd_merged(
     xin, dt_p, A, cstate, win, wout, convw, convb, yd, hins, dout, dhlast,
     D, norm_weight, *, nheads, hdim, d_state, d_inner, conv_dim,
-    chunk_size, norm_eps, interpret,
+    chunk_size, norm_eps, interpret, hins_transposed=False,
 ):
     """pallas_call wrapper for the merged projected-mixer backward
     (ngroups == 1). Same operand/output contract as the per-head path in
@@ -1052,7 +1277,7 @@ def _ssd_pmixer_bwd_merged(
 
     s, srow, dtrow, _ = _decay_tensors(dt_p, A, nc, q, nheads)
     s_last = s.reshape(bsz, nc, q, nheads)[:, :, -1:, :]  # (B, nc, 1, H)
-    hinsT = hins.swapaxes(2, 3)                           # (B, nc, N, DI)
+    hinsT = hins if hins_transposed else hins.swapaxes(2, 3)  # (B,nc,N,DI)
     dhlT = dhlast.swapaxes(1, 2)                          # (B, N, DI)
     d_hp = jnp.repeat(D.astype(jnp.float32), hdim)[None, :]   # (1, DI)
     onehot = jnp.repeat(jnp.eye(nheads, dtype=jnp.float32), hdim, axis=1)
@@ -1191,6 +1416,8 @@ def _pmixer_fwd_impl(xin, dt_p, A, cstate, win, wout, convw, convb, h0, D,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
 def _pmixer_core(xin, dt_p, A, cstate, win, wout, convw, convb, h0, D, nw,
                  cfg, interpret):
+    from videomamba_tpu.ops.dispatch import ssd_fwd_merged_enabled
+
     (nheads, hdim, ngroups, n, d_inner, conv_dim, chunk_size,
      norm_eps) = cfg
     xf, dtf, h0f, cst, nwr, bsz, seqlen, q = _pmixer_fwd_impl(
@@ -1203,12 +1430,15 @@ def _pmixer_core(xin, dt_p, A, cstate, win, wout, convw, convb, h0, D, nw,
         nheads=nheads, hdim=hdim, ngroups=ngroups, d_state=n,
         d_inner=d_inner, conv_dim=conv_dim, chunk_size=q,
         norm_eps=float(norm_eps), interpret=interpret,
+        merged=ssd_fwd_merged_enabled(),
     )
     return out[:, :seqlen], hlast.reshape(bsz, nheads, hdim, n)
 
 
 def _pmixer_vjp_fwd(xin, dt_p, A, cstate, win, wout, convw, convb, h0, D,
                     nw, cfg, interpret):
+    from videomamba_tpu.ops.dispatch import ssd_fwd_merged_enabled
+
     (nheads, hdim, ngroups, n, d_inner, conv_dim, chunk_size,
      norm_eps) = cfg
     xf, dtf, h0f, cst, nwr, bsz, seqlen, q = _pmixer_fwd_impl(
@@ -1221,6 +1451,7 @@ def _pmixer_vjp_fwd(xin, dt_p, A, cstate, win, wout, convw, convb, h0, D,
         nheads=nheads, hdim=hdim, ngroups=ngroups, d_state=n,
         d_inner=d_inner, conv_dim=conv_dim, chunk_size=q,
         norm_eps=float(norm_eps), interpret=interpret, checkpoints=True,
+        merged=ssd_fwd_merged_enabled(),
     )
     res = (xin, dtf, A, cstate, win, wout, convw, convb, h0, D, nw, hins,
            yd)
@@ -1228,7 +1459,10 @@ def _pmixer_vjp_fwd(xin, dt_p, A, cstate, win, wout, convw, convb, h0, D,
 
 
 def _pmixer_vjp_bwd(cfg, interpret, res, cts):
-    from videomamba_tpu.ops.dispatch import ssd_bwd_merged_enabled
+    from videomamba_tpu.ops.dispatch import (
+        ssd_bwd_merged_enabled,
+        ssd_fwd_merged_enabled,
+    )
     from videomamba_tpu.ops.pallas.ssd_scan import _decay_chain_grads
 
     (xin, dtf, A, cstate, win, wout, convw, convb, h0, D, nw, hins,
@@ -1260,6 +1494,10 @@ def _pmixer_vjp_bwd(cfg, interpret, res, cts):
         d_inner=d_inner, conv_dim=conv_dim, chunk_size=q,
         norm_eps=float(norm_eps), interpret=interpret,
         merged=ssd_bwd_merged_enabled(),
+        # The merged FORWARD emits the hins residual transposed; both rules
+        # read the same trace-time knob (kernel_knob_fingerprint guards
+        # long-lived caches against env flips).
+        hins_transposed=(ngroups == 1 and ssd_fwd_merged_enabled()),
     )
     (dxf, ds_col, ds_row, ddtp_col, ddtp_row, dh0f, dwin_b, dwout_b,
      dcw_b, dcb_b, ddsk_b, dcst_b) = outs[:12]

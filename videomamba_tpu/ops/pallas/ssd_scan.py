@@ -984,6 +984,72 @@ def _ssd_mixer_bwd_kernel(
         dnw_ref[0, 0] = dnw_scr[0]
 
 
+def _merged_scan_fwd_core(
+    *, x, x_f, bmat, cmat, scol, srow, dtcol, dtrow, slast_row,
+    hT_scr, onehot, dhp, nheads, hdim, prec, cdt,
+):
+    """MXU-merged chunk forward (ngroups == 1), shared by the mixer-level
+    and projected-mixer forward kernels.
+
+    Per head the original walk runs three dots: the intra-chunk
+    ``(cb*E*dt) @ x_h``, the inter-chunk ``(C*exp(s)) @ h_prev^T``, and the
+    state update ``(x*w)^T @ B``. With one shared B/C group the latter two
+    are linear in the per-head decay scalars, so they merge into single big
+    dots over ALL heads: ``(cmat @ hT) * exp(s)_splat`` and
+    ``bmat^T @ (x * w_splat)`` against the TRANSPOSED (N, DI) state, with
+    the (q, H) -> (q, DI) scale splats done by a one-hot matmul. Only the
+    head-diagonal intra-chunk dot stays per-head.
+
+    Updates ``hT_scr`` in place and returns the (q, DI) f32 pre-gate y
+    (scan + D-skip).
+    """
+    f32 = jnp.float32
+    q = x.shape[0]
+
+    ids_r = lax.broadcasted_iota(jnp.int32, (q, q), 0)
+    ids_c = lax.broadcasted_iota(jnp.int32, (q, q), 1)
+    causal = ids_r >= ids_c
+
+    # Batched decay scalars, splatted to head lanes via the MXU.
+    esc_dim = lax.dot_general(jnp.exp(scol), onehot,
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=f32, precision=prec)
+    W_all = dtcol * jnp.exp(slast_row - scol)               # (q, H)
+    w_dim = lax.dot_general(W_all, onehot, (((1,), (0,)), ((), ())),
+                            preferred_element_type=f32, precision=prec)
+    eslast_dim = lax.dot_general(jnp.exp(slast_row), onehot,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=f32, precision=prec)
+
+    hT = hT_scr[:]                                          # (N, DI) f32
+    # Inter-chunk y: per-head (C*exp(s)) @ h_prev^T == (cmat @ hT) * splat.
+    y_state = lax.dot_general(cmat, hT.astype(cdt), (((1,), (0,)), ((), ())),
+                              preferred_element_type=f32,
+                              precision=prec) * esc_dim
+    # State update: per-head (x*w)^T @ B == bmat^T @ (x * w_splat).
+    xw_all = (x_f * w_dim).astype(cdt)
+    s_T = lax.dot_general(bmat, xw_all, (((0,), (0,)), ((), ())),
+                          preferred_element_type=f32, precision=prec)
+    hT_scr[:] = eslast_dim * hT + s_T
+
+    # Intra-chunk y (genuinely head-diagonal).
+    cb = lax.dot_general(cmat, bmat, (((1,), (1,)), ((), ())),
+                         preferred_element_type=f32, precision=prec)
+    y_cols = []
+    for h in range(nheads):
+        sc = scol[:, h:h + 1]
+        sr = srow[h:h + 1, :]
+        seg = jnp.where(causal, sc - sr, -jnp.inf)
+        m = (cb * jnp.exp(seg) * dtrow[h:h + 1, :]).astype(cdt)
+        xh = x[:, h * hdim:(h + 1) * hdim]
+        y_cols.append(
+            lax.dot_general(m, xh, (((1,), (0,)), ((), ())),
+                            preferred_element_type=f32, precision=prec)
+        )
+
+    return jnp.concatenate(y_cols, axis=1) + y_state + dhp * x_f
+
+
 def _merged_scan_bwd_core(
     *, x, x_f, bmat, cmat, dyd, scol, srow, dtcol, dtrow, slast_row,
     hinT, onehot, dhp, g_scr,
@@ -1315,7 +1381,7 @@ def _ssd_mixer_bwd_merged_kernel(
 def _ssd_mixer_bwd_merged(
     zx, dt_p, A, cstate, convw, convb, yd, hins, dout, dhlast, D,
     norm_weight, *, nheads, hdim, d_state, d_inner, conv_dim, chunk_size,
-    norm_eps, interpret,
+    norm_eps, interpret, hins_transposed=False,
 ):
     """pallas_call wrapper for the merged kernel (ngroups == 1).
 
@@ -1336,7 +1402,7 @@ def _ssd_mixer_bwd_merged(
     srow = s.swapaxes(1, 2)
     dtrow = dt_p.swapaxes(1, 2)
     s_last = s.reshape(bsz, nc, q, nheads)[:, :, -1:, :]  # (B, nc, 1, H)
-    hinsT = hins.swapaxes(2, 3)                           # (B, nc, N, DI)
+    hinsT = hins if hins_transposed else hins.swapaxes(2, 3)  # (B,nc,N,DI)
     dhlT = dhlast.swapaxes(1, 2)                          # (B, N, DI)
     d_hp = jnp.repeat(D.astype(jnp.float32), hdim)[None, :]   # (1, DI)
     onehot = jnp.repeat(jnp.eye(nheads, dtype=jnp.float32), hdim, axis=1)
@@ -1444,7 +1510,7 @@ def _ssd_mixer_bwd_merged(
     jax.jit,
     static_argnames=("nheads", "hdim", "ngroups", "d_state", "chunk_size",
                      "interpret", "norm_eps", "d_inner", "conv_dim",
-                     "merged"),
+                     "merged", "hins_transposed"),
 )
 def _ssd_mixer_bwd_padded(
     zx: Array,       # (B, Lp, DPJ), Lp % q == 0
@@ -1470,10 +1536,12 @@ def _ssd_mixer_bwd_padded(
     norm_eps: float = 1e-5,
     interpret: bool = False,
     merged: Optional[bool] = None,
+    hins_transposed: bool = False,
 ):
     # ``merged`` is static (part of the jit key): callers inside traced
     # code resolve the env knob OUTSIDE this function so a knob flip can
     # never reuse a stale trace. None = resolve here (direct/test callers).
+    # ``hins_transposed``: the merged FORWARD emits hins as (B, nc, N, DI).
     if merged is None:
         from videomamba_tpu.ops.dispatch import ssd_bwd_merged_enabled
 
@@ -1484,7 +1552,10 @@ def _ssd_mixer_bwd_padded(
             norm_weight, nheads=nheads, hdim=hdim, d_state=d_state,
             d_inner=d_inner, conv_dim=conv_dim, chunk_size=chunk_size,
             norm_eps=norm_eps, interpret=interpret,
+            hins_transposed=hins_transposed,
         )
+    if hins_transposed:
+        hins = hins.swapaxes(2, 3)  # back to the per-head (B, nc, DI, N)
 
     bsz, lp, dpj = zx.shape
     q = chunk_size
@@ -1626,11 +1697,214 @@ def ssd_core_pallas(
 # --------------------------------------- conv-fused (whole-mixer) variant
 
 
+def _ssd_mixer_fwd_merged_kernel(
+    zx_ref,       # (1, q, DPJ)
+    cstate_ref,   # (1, W, CD)
+    convw_ref,    # (W, CD)
+    convb_ref,    # (1, CD) f32
+    scol_ref,     # (1, q, H) f32
+    srow_ref,     # (1, H, q) f32
+    dtcol_ref,    # (1, q, H) f32
+    dtrow_ref,    # (1, H, q) f32
+    slastrow_ref,  # (1, 1, 1, H) f32
+    h0_ref,       # (1, N, DI) f32 TRANSPOSED initial state
+    dhp_ref,      # (1, DI) f32: D splat to head lanes
+    onehot_ref,   # (H, DI) f32 head-expansion
+    *maybe_nw_and_outs,
+    nheads: int,
+    hdim: int,
+    d_state: int,
+    highest: bool,
+    has_norm: bool,
+    norm_eps: float,
+    conv_width: int,
+    d_inner: int,
+    conv_dim: int,
+    checkpoints: bool,
+):
+    """MXU-merged whole-mixer forward (ngroups == 1): conv+SiLU, the merged
+    chunk walk (:func:`_merged_scan_fwd_core`), D-skip, gate (+RMSNorm) —
+    same contract as the ``fuse_conv`` :func:`_ssd_kernel` variant except
+    the state (h0/hlast, and the hins checkpoints) is TRANSPOSED (N, DI).
+    """
+    it = iter(maybe_nw_and_outs)
+    nw_ref = next(it) if has_norm else None
+    y_ref = next(it)        # (1, q, DI)
+    hlast_ref = next(it)    # (1, N, DI) f32 (transposed)
+    hins_ref = next(it) if checkpoints else None  # (1, 1, N, DI)
+    yd_ref = next(it) if checkpoints else None    # (1, q, DI)
+    hT_scr = next(it)       # (N, DI) f32
+    xtail_scr = next(it)    # (W-1, CD) f32 raw conv tail
+
+    c_idx = pl.program_id(1)
+    prec = lax.Precision.HIGHEST if highest else None
+    width = conv_width
+    f32 = jnp.float32
+
+    @pl.when(c_idx == 0)
+    def _():
+        hT_scr[:] = h0_ref[0]
+
+    if checkpoints:
+        # Residual for the backward kernel: the state ENTERING this chunk.
+        hins_ref[0, 0] = hT_scr[:]
+
+    zx = zx_ref[0]                          # (q, DPJ)
+    q = zx.shape[0]
+    cdt = zx.dtype
+
+    # ---- causal conv + SiLU (identical to the per-head fuse_conv path).
+    z_val = zx[:, :d_inner]
+    raw = zx[:, d_inner:d_inner + conv_dim].astype(f32)
+    state_tail = cstate_ref[0][1:, :].astype(f32)
+    left = jnp.where(c_idx == 0, state_tail, xtail_scr[:])
+    ctx = jnp.concatenate([left, raw], axis=0)
+    xtail_scr[:] = raw[q - (width - 1):]
+    cw_taps = convw_ref[:].astype(f32)
+    cy = cw_taps[width - 1][None, :] * raw
+    for k in range(width - 1):
+        cy = cy + cw_taps[k][None, :] * ctx[k:k + q]
+    cy = cy + convb_ref[:].astype(f32)
+    cy = cy * jax.nn.sigmoid(cy)
+    n = d_state
+    x_f = cy[:, :d_inner]
+    x = x_f.astype(cdt)
+    bmat = cy[:, d_inner:d_inner + n].astype(cdt)
+    cmat = cy[:, d_inner + n:].astype(cdt)
+
+    # ---- MXU-merged chunk walk (shared core) + D-skip.
+    yd = _merged_scan_fwd_core(
+        x=x, x_f=x_f, bmat=bmat, cmat=cmat, scol=scol_ref[0],
+        srow=srow_ref[0], dtcol=dtcol_ref[0], dtrow=dtrow_ref[0],
+        slast_row=slastrow_ref[0, 0], hT_scr=hT_scr, onehot=onehot_ref[:],
+        dhp=dhp_ref[:], nheads=nheads, hdim=hdim, prec=prec, cdt=cdt,
+    )
+
+    # ---- epilogue: silu(z) gate (+ RMSNorm).
+    if checkpoints:
+        yd_ref[0] = yd.astype(yd_ref.dtype)
+    gated = yd * jax.nn.silu(z_val.astype(f32))
+    if has_norm:
+        var = jnp.mean(jnp.square(gated), axis=1, keepdims=True)
+        gated = gated * lax.rsqrt(var + norm_eps) * nw_ref[:].astype(f32)
+    y_ref[0] = gated.astype(y_ref.dtype)
+
+    hlast_ref[0] = hT_scr[:]
+
+
+def _ssd_mixer_fwd_merged(
+    zx, dt_p, A, cstate, convw, convb, h0, D, norm_weight, *, nheads, hdim,
+    d_state, d_inner, conv_dim, chunk_size, interpret, norm_eps,
+    checkpoints,
+):
+    """pallas_call wrapper for the merged mixer forward (ngroups == 1).
+
+    Same external contract as the per-head path inside
+    :func:`_ssd_mixer_padded` EXCEPT the hins checkpoint comes out
+    TRANSPOSED as (B, nc, N, DI) — exactly the layout the merged backward
+    consumes, so the training round trip does zero hins relayouts. hlast
+    is transposed back to (B, DI, N) in XLA (a small tensor, once per
+    call).
+    """
+    bsz, lp, dpj = zx.shape
+    q = chunk_size
+    nc = lp // q
+    width = convw.shape[0]
+    has_norm = norm_weight is not None
+
+    dtA = dt_p * A[None, None, :]
+    s = jnp.cumsum(dtA.reshape(bsz, nc, q, nheads), axis=2)
+    s = s.reshape(bsz, lp, nheads)
+    srow = s.swapaxes(1, 2)
+    dtrow = dt_p.swapaxes(1, 2)
+    s_last = s.reshape(bsz, nc, q, nheads)[:, :, -1:, :]  # (B, nc, 1, H)
+    h0T = h0.swapaxes(1, 2)                               # (B, N, DI)
+    d_hp = jnp.repeat(D.astype(jnp.float32), hdim)[None, :]
+    onehot = jnp.repeat(jnp.eye(nheads, dtype=jnp.float32), hdim, axis=1)
+
+    blk = lambda b, c: (b, c, 0)
+    fixed = lambda b, c: (b, 0, 0)
+    row = lambda b, c: (b, 0, c)
+    chunk4 = lambda b, c: (b, c, 0, 0)
+    fixed2 = lambda b, c: (0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, q, dpj), blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, width, conv_dim), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((width, conv_dim), fixed2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, conv_dim), fixed2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, q, nheads), blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nheads, q), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, q, nheads), blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nheads, q), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, nheads), chunk4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d_state, d_inner), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d_inner), fixed2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((nheads, d_inner), fixed2, memory_space=pltpu.VMEM),
+    ]
+    operands = [zx, cstate, convw, convb, s, srow, dt_p, dtrow, s_last,
+                h0T, d_hp, onehot]
+    if has_norm:
+        in_specs.append(
+            pl.BlockSpec((1, d_inner), fixed2, memory_space=pltpu.VMEM)
+        )
+        operands.append(norm_weight)
+
+    out_specs = [
+        pl.BlockSpec((1, q, d_inner), blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d_state, d_inner), fixed, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bsz, lp, d_inner), zx.dtype),
+        jax.ShapeDtypeStruct((bsz, d_state, d_inner), jnp.float32),
+    ]
+    if checkpoints:
+        out_specs.append(
+            pl.BlockSpec((1, 1, d_state, d_inner), chunk4,
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((bsz, nc, d_state, d_inner), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec((1, q, d_inner), blk, memory_space=pltpu.VMEM)
+        )
+        # Pre-gate y checkpoint in the COMPUTE dtype (see the per-head
+        # wrapper's note).
+        out_shape.append(
+            jax.ShapeDtypeStruct((bsz, lp, d_inner), zx.dtype)
+        )
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _ssd_mixer_fwd_merged_kernel, nheads=nheads, hdim=hdim,
+            d_state=d_state, highest=(zx.dtype == jnp.float32),
+            has_norm=has_norm, norm_eps=norm_eps, conv_width=width,
+            d_inner=d_inner, conv_dim=conv_dim, checkpoints=checkpoints,
+        ),
+        grid=(bsz, nc),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((d_state, d_inner), jnp.float32),   # hT (TRANSPOSED)
+            pltpu.VMEM((width - 1, conv_dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*operands)
+    outs = list(outs)
+    outs[1] = outs[1].swapaxes(1, 2)  # hlast: (B, N, DI) -> (B, DI, N)
+    return tuple(outs) if checkpoints else (outs[0], outs[1])
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("nheads", "hdim", "ngroups", "d_state", "chunk_size",
                      "interpret", "norm_eps", "d_inner", "conv_dim",
-                     "checkpoints"),
+                     "checkpoints", "merged"),
 )
 def _ssd_mixer_padded(
     zx: Array,       # (B, Lp, DPJ) in_proj output, Lp % q == 0
@@ -1653,7 +1927,23 @@ def _ssd_mixer_padded(
     interpret: bool = False,
     norm_eps: float = 1e-5,
     checkpoints: bool = False,
+    merged: Optional[bool] = None,
 ):
+    # ``merged`` is static (part of the jit key); see _ssd_mixer_bwd_padded.
+    # NOTE: the merged path's hins checkpoint output is TRANSPOSED
+    # (B, nc, N, DI) — the layout the merged backward consumes directly.
+    if merged is None:
+        from videomamba_tpu.ops.dispatch import ssd_fwd_merged_enabled
+
+        merged = ssd_fwd_merged_enabled()
+    if ngroups == 1 and merged:
+        return _ssd_mixer_fwd_merged(
+            zx, dt_p, A, cstate, convw, convb, h0, D, norm_weight,
+            nheads=nheads, hdim=hdim, d_state=d_state, d_inner=d_inner,
+            conv_dim=conv_dim, chunk_size=chunk_size, interpret=interpret,
+            norm_eps=norm_eps, checkpoints=checkpoints,
+        )
+
     bsz, lp, dpj = zx.shape
     q = chunk_size
     nc = lp // q
@@ -1747,6 +2037,8 @@ def _ssd_mixer_padded(
 
 def _mixer_fwd_impl(zx, dt_p, A, cstate, convw, convb, h0, D, nw, cfg,
                     interpret):
+    from videomamba_tpu.ops.dispatch import ssd_fwd_merged_enabled
+
     (nheads, hdim, ngroups, n, d_inner, conv_dim, chunk_size,
      norm_eps) = cfg
     bsz, seqlen, _ = zx.shape
@@ -1773,6 +2065,7 @@ def _mixer_fwd_impl(zx, dt_p, A, cstate, convw, convb, h0, D, nw, cfg,
         nheads=nheads, hdim=hdim, ngroups=ngroups, d_state=n,
         d_inner=d_inner, conv_dim=conv_dim, chunk_size=q,
         norm_eps=float(norm_eps), interpret=interpret,
+        merged=ssd_fwd_merged_enabled(),
     )
     return y[:, :seqlen], hlast.reshape(bsz, nheads, hdim, n)
 
@@ -1789,7 +2082,14 @@ def _mixer_vjp_fwd(zx, dt_p, A, cstate, convw, convb, h0, D, nw, cfg,
     """Training forward: run the fused kernel WITH residual outputs — the
     per-chunk entry states (for the Pallas scan backward) and the pre-gate
     y (for the epilogue gradient) — so the backward never re-runs the scan
-    forward."""
+    forward.
+
+    NOTE: when the merged forward runs (ngroups == 1 and
+    VIDEOMAMBA_SSD_FWD_MERGED), the ``hins`` residual is TRANSPOSED
+    (B, nc, N, DI); the backward rules re-read the same trace-time knob to
+    interpret it."""
+    from videomamba_tpu.ops.dispatch import ssd_fwd_merged_enabled
+
     (nheads, hdim, ngroups, n, d_inner, conv_dim, chunk_size,
      norm_eps) = cfg
     bsz, seqlen, _ = zx.shape
@@ -1816,6 +2116,7 @@ def _mixer_vjp_fwd(zx, dt_p, A, cstate, convw, convb, h0, D, nw, cfg,
         nheads=nheads, hdim=hdim, ngroups=ngroups, d_state=n,
         d_inner=d_inner, conv_dim=conv_dim, chunk_size=q,
         norm_eps=float(norm_eps), interpret=interpret, checkpoints=True,
+        merged=ssd_fwd_merged_enabled(),
     )
     out = (y[:, :seqlen], hlast.reshape(bsz, nheads, hdim, n))
     return out, (zx, dtf, A, cstate, convw, convb, h0, D, nw, hins, yd)
@@ -1842,7 +2143,10 @@ def _mixer_vjp_bwd_fused(cfg, interpret, res, cts):
     ``_ssd_mixer_bwd_padded`` — the composite path's XLA glue (measured
     1.8 ms/layer at Base train shapes, more than both Pallas kernels
     combined) collapses to the tiny decay chains + per-batch reductions."""
-    from videomamba_tpu.ops.dispatch import ssd_bwd_merged_enabled
+    from videomamba_tpu.ops.dispatch import (
+        ssd_bwd_merged_enabled,
+        ssd_fwd_merged_enabled,
+    )
 
     zx, dtf, A, cstate, convw, convb, h0, D, nw, hins, yd = res
     (nheads, hdim, ngroups, n, d_inner, conv_dim, chunk_size,
@@ -1853,6 +2157,10 @@ def _mixer_vjp_bwd_fused(cfg, interpret, res, cts):
     lp = dtf.shape[1]
     has_cst = cstate is not None
     has_norm = nw is not None
+    # The merged FORWARD emits the hins residual transposed (B, nc, N, DI);
+    # both rules read the same trace-time knob (kernel_knob_fingerprint
+    # guards long-lived caches against env flips).
+    fwd_merged = ngroups == 1 and ssd_fwd_merged_enabled()
 
     pad = lp - seqlen
     zxf = jnp.pad(zx, ((0, 0), (0, pad), (0, 0))) if pad else zx
@@ -1871,7 +2179,7 @@ def _mixer_vjp_bwd_fused(cfg, interpret, res, cts):
         nheads=nheads, hdim=hdim, ngroups=ngroups, d_state=n,
         d_inner=d_inner, conv_dim=conv_dim, chunk_size=q,
         norm_eps=float(norm_eps), interpret=interpret,
-        merged=ssd_bwd_merged_enabled(),
+        merged=ssd_bwd_merged_enabled(), hins_transposed=fwd_merged,
     )
     (dzxf, ds_col, ds_row, ddtp_col, ddtp_row, dh0f, dcw_b, dcb_b,
      ddsk_b, dcst_b) = outs[:10]
@@ -1905,7 +2213,10 @@ def _mixer_vjp_bwd(cfg, interpret, res, cts):
     (elementwise) -> Pallas scan backward from the forward's checkpoints ->
     conv vjp. No scan-forward recompute either way."""
     from videomamba_tpu.ops.causal_conv1d import causal_conv1d
-    from videomamba_tpu.ops.dispatch import ssd_bwd_fused_enabled
+    from videomamba_tpu.ops.dispatch import (
+        ssd_bwd_fused_enabled,
+        ssd_fwd_merged_enabled,
+    )
     from videomamba_tpu.ops.norm import rms_norm
 
     if ssd_bwd_fused_enabled():
@@ -1914,6 +2225,10 @@ def _mixer_vjp_bwd(cfg, interpret, res, cts):
     zx, dtf, A, cstate, convw, convb, h0, D, nw, hins, yd = res
     (nheads, hdim, ngroups, n, d_inner, conv_dim, chunk_size,
      norm_eps) = cfg
+    if ngroups == 1 and ssd_fwd_merged_enabled():
+        # The merged forward's hins residual is transposed (B, nc, N, DI);
+        # the bare scan backward wants (B, nc, DI, N).
+        hins = hins.swapaxes(2, 3)
     dout, dhlast = cts
     bsz, seqlen, _ = zx.shape
     q = int(chunk_size)
