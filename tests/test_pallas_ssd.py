@@ -408,10 +408,13 @@ def test_merged_pmixer_forward_and_grads(monkeypatch):
 
 
 def test_merged_pmixer_backward_matches_perhead(monkeypatch):
-    """Same A/B for the projected-mixer backward (ssd_block.py): the merged
-    scan core composed with the in/out_proj gradient structure."""
+    """Same A/B for the one-kernel projected-mixer backward (ssd_block.py):
+    the merged scan core composed with the in/out_proj gradient structure.
+    Pins TRAIN_ROUTE=pmixer — the default route would bypass this kernel
+    under jax.grad (ops.dispatch.ssd_train_route)."""
     monkeypatch.setenv("VIDEOMAMBA_PALLAS_INTERPRET", "1")
     monkeypatch.setenv("VIDEOMAMBA_SSD_PMIXER", "1")
+    monkeypatch.setenv("VIDEOMAMBA_SSD_TRAIN_ROUTE", "pmixer")
     from videomamba_tpu.models.mamba2 import Mamba2
 
     m = Mamba2(d_model=128, d_state=8, headdim=8, ngroups=1,
@@ -487,8 +490,13 @@ class TestProjectedMixer:
         np.testing.assert_allclose(np.asarray(y_pm), np.asarray(y_mx),
                                    rtol=2e-5, atol=2e-5)
 
-    def test_gradients_match_mixer_route(self, monkeypatch):
+    @pytest.mark.parametrize("route", ["mixer", "pmixer"])
+    def test_gradients_match_mixer_route(self, monkeypatch, route):
+        """Both differentiated routes of the projected-mixer op (the
+        decomposed default and the one-kernel pmixer pair) must match the
+        model-level mixer route's gradients."""
         monkeypatch.setenv("VIDEOMAMBA_PALLAS_INTERPRET", "1")
+        monkeypatch.setenv("VIDEOMAMBA_SSD_TRAIN_ROUTE", route)
         m, p, x = self._mixer()
 
         def loss(pp, xx):
@@ -500,6 +508,33 @@ class TestProjectedMixer:
         g_mx = jax.grad(loss, argnums=(0, 1))(p, x)
         for a, b in zip(jax.tree_util.tree_leaves(g_pm),
                         jax.tree_util.tree_leaves(g_mx)):
+            scale = float(jnp.max(jnp.abs(b))) + 1e-30
+            err = float(jnp.max(jnp.abs(a - b))) / scale
+            assert err <= 2e-5, err
+
+    def test_train_route_streaming_grads_match(self, monkeypatch):
+        """Route parity WITH streaming state threaded through the op: both
+        custom-vjp routes must agree on every cotangent including the
+        conv/ssm state gradients."""
+        monkeypatch.setenv("VIDEOMAMBA_PALLAS_INTERPRET", "1")
+        monkeypatch.setenv("VIDEOMAMBA_SSD_PMIXER", "1")
+        m, p, x = self._mixer()
+        st = (jnp.zeros((2, m.conv_dim, m.d_conv), jnp.float32),
+              0.1 * jax.random.normal(
+                  jax.random.PRNGKey(7),
+                  (2, m.nheads, m.headdim, m.d_state), jnp.float32))
+
+        def loss(pp, xx, st_):
+            y, (cs, ss) = m(pp, xx, state=st_, return_state=True)
+            return (jnp.sum(y.astype(jnp.float32) ** 2)
+                    + jnp.sum(ss.astype(jnp.float32) ** 2) * 0.5)
+
+        grads = {}
+        for route in ("mixer", "pmixer"):
+            monkeypatch.setenv("VIDEOMAMBA_SSD_TRAIN_ROUTE", route)
+            grads[route] = jax.grad(loss, argnums=(0, 1, 2))(p, x, st)
+        for a, b in zip(jax.tree_util.tree_leaves(grads["mixer"]),
+                        jax.tree_util.tree_leaves(grads["pmixer"])):
             scale = float(jnp.max(jnp.abs(b))) + 1e-30
             err = float(jnp.max(jnp.abs(a - b))) / scale
             assert err <= 2e-5, err

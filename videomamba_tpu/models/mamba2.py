@@ -251,10 +251,12 @@ class Mamba2:
                 method = "chunked"
 
         if method == "pallas" and self._pmixer_ok(params):
-            # Projected-mixer kernel: in_proj + conv + scan + gate/norm +
-            # out_proj in ONE pallas_call — the projection matmuls ride the
-            # scan's idle MXU slots and the zx/gated HBM round trips
-            # disappear (ops/pallas/ssd_block.py).
+            # Projected-mixer op: in_proj + conv + scan + gate/norm +
+            # out_proj in ONE pallas_call for inference (the zx/gated HBM
+            # round trips disappear — the measured serving winner). Under
+            # jax.grad its custom-vjp rules run the DECOMPOSED route (XLA
+            # projections around the merged mixer core) — the measured
+            # training winner; see ops.dispatch.ssd_train_route.
             from videomamba_tpu.ops.pallas.ssd_block import (
                 ssd_projected_mixer,
             )

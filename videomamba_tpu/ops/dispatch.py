@@ -84,6 +84,7 @@ _KERNEL_KNOB_ENVS = (
     "VIDEOMAMBA_SSD_BWD_MERGED",
     "VIDEOMAMBA_SSD_FWD_MERGED",
     "VIDEOMAMBA_SSD_PMIXER",
+    "VIDEOMAMBA_SSD_TRAIN_ROUTE",
 )
 
 
@@ -95,6 +96,31 @@ def ssd_pmixer_enabled() -> bool:
     return os.getenv("VIDEOMAMBA_SSD_PMIXER", "1").strip().lower() not in {
         "0", "false", "off", "no"
     }
+
+
+def ssd_train_route() -> str:
+    """Differentiated-call route for :func:`ssd_projected_mixer` — which
+    forward/backward decomposition runs under ``jax.grad``.
+
+    ``"mixer"`` (default): the custom-vjp pair runs the DECOMPOSED route —
+    in/out projections as plain XLA matmuls around the ``ssd_mixer_pallas``
+    core (fwd-with-checkpoints + mega-backward). With the MXU-merged kernels
+    the scan core has few idle MXU slots left, so the projections are faster
+    as standalone MXU-peak matmuls than fused into the kernel: measured
+    Base m2 train step 50.5 ms vs 62.4 ms for the fused pmixer pair
+    (2026-08-20, v5e; see ROADMAP round-5 attribution).
+
+    ``"pmixer"``: keep the one-kernel merged projected-mixer backward
+    (A/B + fallback; it was the round-4 flagship before the merged kernels
+    landed).
+
+    Inference (the primal, non-differentiated call) always runs the fused
+    projected-mixer kernel either way — it remains the measured serving
+    winner (30.1 vs 33.5 ms Base chunk). Read at trace time — part of
+    :func:`kernel_knob_fingerprint` for cache safety.
+    """
+    v = os.getenv("VIDEOMAMBA_SSD_TRAIN_ROUTE", "mixer").strip().lower()
+    return "pmixer" if v == "pmixer" else "mixer"
 
 
 def ssd_bwd_fused_enabled() -> bool:

@@ -1437,7 +1437,37 @@ def _pmixer_core(xin, dt_p, A, cstate, win, wout, convw, convb, h0, D, nw,
 
 def _pmixer_vjp_fwd(xin, dt_p, A, cstate, win, wout, convw, convb, h0, D,
                     nw, cfg, interpret):
-    from videomamba_tpu.ops.dispatch import ssd_fwd_merged_enabled
+    """Training forward for the projected-mixer op.
+
+    Route ``"mixer"`` (default, :func:`ssd_train_route`): run the
+    DECOMPOSED path — the full in_proj as one XLA matmul, the mixer core
+    (with residual checkpoints) via :func:`ssd_scan._mixer_vjp_fwd`, and
+    the out_proj as another XLA matmul. With the MXU-merged core kernels
+    the scan has few idle MXU slots, so standalone MXU-peak projection
+    matmuls beat the fused pmixer pair under differentiation (Base m2
+    train 50.5 vs 62.4 ms). The fused kernel still serves the primal
+    (inference) call.
+
+    Route ``"pmixer"``: the original one-kernel pair (A/B + fallback).
+    Both rules read the same trace-time knob; it is part of
+    ``kernel_knob_fingerprint`` so long-lived jit caches re-trace on flips.
+    """
+    from videomamba_tpu.ops.dispatch import (
+        ssd_fwd_merged_enabled,
+        ssd_train_route,
+    )
+
+    if ssd_train_route() == "mixer":
+        from videomamba_tpu.ops.pallas.ssd_scan import (
+            _mixer_vjp_fwd as _mx_fwd,
+        )
+
+        zxbcdt = xin @ win
+        (gated, hlast), mres = _mx_fwd(
+            zxbcdt, dt_p, A, cstate, convw, convb, h0, D, nw, cfg,
+            interpret)
+        out = gated @ wout
+        return (out, hlast), (xin, gated, win, wout, mres)
 
     (nheads, hdim, ngroups, n, d_inner, conv_dim, chunk_size,
      norm_eps) = cfg
@@ -1462,8 +1492,28 @@ def _pmixer_vjp_bwd(cfg, interpret, res, cts):
     from videomamba_tpu.ops.dispatch import (
         ssd_bwd_merged_enabled,
         ssd_fwd_merged_enabled,
+        ssd_train_route,
     )
     from videomamba_tpu.ops.pallas.ssd_scan import _decay_chain_grads
+
+    if ssd_train_route() == "mixer":
+        # Decomposed backward: projection gradients as XLA matmuls around
+        # the mixer-core backward (mega-fused by default). Mirrors what
+        # autodiff produces on the mixer-level model route — the measured
+        # training winner once the core kernels went MXU-merged.
+        from videomamba_tpu.ops.pallas.ssd_scan import (
+            _mixer_vjp_bwd as _mx_bwd,
+        )
+
+        xin, gated, win, wout, mres = res
+        dout, dhlast = cts
+        dgated = dout @ wout.T
+        dwout = jnp.einsum("bli,blo->io", gated, dout).astype(wout.dtype)
+        (dzx, ddtp, dA, dcst, dcw, dcb, dh0, dD, dnw) = _mx_bwd(
+            cfg, interpret, mres, (dgated, dhlast))
+        dxin = (dzx @ win.T).astype(xin.dtype)
+        dwin = jnp.einsum("bld,ble->de", xin, dzx).astype(win.dtype)
+        return (dxin, ddtp, dA, dcst, dwin, dwout, dcw, dcb, dh0, dD, dnw)
 
     (xin, dtf, A, cstate, win, wout, convw, convb, h0, D, nw, hins,
      yd) = res
