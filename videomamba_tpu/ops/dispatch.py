@@ -108,7 +108,7 @@ def ssd_train_route() -> str:
     the scan core has few idle MXU slots left, so the projections are faster
     as standalone MXU-peak matmuls than fused into the kernel: measured
     Base m2 train step 50.5 ms vs 62.4 ms for the fused pmixer pair
-    (2026-08-20, v5e; see ROADMAP round-5 attribution).
+    (2026-08-20, v5e; see the ROADMAP round-5 closeout attribution table).
 
     ``"pmixer"``: keep the one-kernel merged projected-mixer backward
     (A/B + fallback; it was the round-4 flagship before the merged kernels
